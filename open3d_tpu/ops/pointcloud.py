@@ -1,0 +1,179 @@
+"""Point-cloud ops: downsampling, normal estimation, outlier removal.
+
+Reference: t/geometry/PointCloud.h:357-571 + kernels in
+t/geometry/kernel/PointCloud{Impl.h,CPU.cpp,CUDA.cu}.
+
+TPU design notes:
+- VoxelDownSample: the reference inserts voxel coords into a device hashmap
+  (PointCloud.cpp VoxelDownSample). Hash insertion is scatter-heavy; on TPU a
+  lexicographic sort + segment-mean is faster, deterministic, and fully
+  static-shape. Output keeps input capacity with an updated mask.
+- EstimateNormals: neighbor gather (hybrid/knn via core.nns) + masked 3x3
+  covariance + closed-form eigendecomposition (core.linalg.eigh3x3), all
+  batched on the VPU; the reference uses per-point SVD3x3
+  (core/linalg/kernel/SVD3x3.h).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from open3d_tpu.core import linalg, nns
+from open3d_tpu.core.masking import FAR_COORD
+from open3d_tpu.geometry.pointcloud import PointCloud
+
+
+def voxel_down_sample(pcd: PointCloud, voxel_size: float) -> PointCloud:
+    """Average points (and attrs) per occupied voxel. Capacity preserved;
+    result rows 0..n_voxels-1 are valid (ref: PointCloud::VoxelDownSample,
+    PointCloud.h:357)."""
+    N = pcd.capacity
+    pos = pcd.positions
+    # Voxel integer coords; invalid rows land at huge coords and sort last.
+    coords = jnp.floor(pos / voxel_size).astype(jnp.int32)
+    coords = jnp.where(pcd.mask[:, None], coords, jnp.int32(2**30))
+    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+    sc = coords[order]
+    sorted_mask = pcd.mask[order]
+    first = jnp.concatenate(
+        [jnp.array([True]), jnp.any(sc[1:] != sc[:-1], axis=1)]
+    ) & sorted_mask
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # -1 for leading invalids (none: first[0] True if any valid)
+    seg_id = jnp.where(sorted_mask, seg_id, N - 1)  # park invalids in last segment slot
+    n_seg = jnp.sum(first.astype(jnp.int32))
+
+    def seg_mean(vals_sorted):
+        w = sorted_mask.astype(jnp.float32)
+        ww = w[:, None] if vals_sorted.ndim == 2 else w
+        sums = jax.ops.segment_sum(vals_sorted * ww, seg_id, num_segments=N)
+        cnts = jax.ops.segment_sum(w, seg_id, num_segments=N)
+        c = cnts[:, None] if vals_sorted.ndim == 2 else cnts
+        return sums / jnp.maximum(c, 1.0)
+
+    new_mask = jnp.arange(N) < n_seg
+    new_pos = seg_mean(pos[order])
+    new_pos = jnp.where(new_mask[:, None], new_pos, FAR_COORD)
+    new_attrs = {k: seg_mean(v[order]) for k, v in pcd.attrs.items()}
+    if "normals" in new_attrs:
+        nrm = new_attrs["normals"]
+        new_attrs["normals"] = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    return PointCloud(positions=new_pos, mask=new_mask, attrs=new_attrs)
+
+
+def random_down_sample(pcd: PointCloud, sampling_ratio: float, key) -> PointCloud:
+    """Keep each valid point with prob `sampling_ratio`
+    (ref: PointCloud::RandomDownSample, PointCloud.h:373)."""
+    keep = jax.random.uniform(key, (pcd.capacity,)) < sampling_ratio
+    return pcd.select_by_mask(keep)
+
+
+def uniform_down_sample(pcd: PointCloud, every_k_points: int) -> PointCloud:
+    """Keep every k-th valid point, by valid ordinal
+    (ref: PointCloud::UniformDownSample, PointCloud.h:365)."""
+    ordinal = jnp.cumsum(pcd.mask.astype(jnp.int32)) - 1
+    return pcd.select_by_mask(ordinal % every_k_points == 0)
+
+
+def farthest_point_down_sample(pcd: PointCloud, num_samples: int) -> PointCloud:
+    """Iterative farthest-point sampling (ref: PointCloud::FarthestPointDownSample,
+    PointCloud.h:382; CUDA impl ml/contrib/PointSampling.cuh). O(num_samples * N)
+    distance updates, fully vectorized per round."""
+    pos = pcd.valid_positions()
+    N = pcd.capacity
+
+    def body(carry, _):
+        min_d2, selected, last_idx = carry
+        d2 = jnp.sum((pos - pos[last_idx]) ** 2, axis=-1)
+        min_d2 = jnp.minimum(min_d2, d2)
+        cand = jnp.where(pcd.mask & ~selected, min_d2, -1.0)
+        nxt = jnp.argmax(cand).astype(jnp.int32)
+        selected = selected.at[nxt].set(True)
+        return (min_d2, selected, nxt), None
+
+    start = jnp.argmax(pcd.mask).astype(jnp.int32)
+    selected0 = jnp.zeros((N,), bool).at[start].set(True)
+    init = (jnp.full((N,), jnp.inf, jnp.float32), selected0, start)
+    (_, selected, _), _ = jax.lax.scan(body, init, None, length=max(num_samples - 1, 0))
+    return pcd.select_by_mask(selected)
+
+
+def gather_neighbors(values: jnp.ndarray, idx: jnp.ndarray, fill=0.0):
+    """Gather (N, k) neighbor rows from (M, ...) values; idx<0 -> fill."""
+    safe = jnp.maximum(idx, 0)
+    out = values[safe]
+    m = (idx >= 0)
+    m = m[..., None] if out.ndim == idx.ndim + 1 else m
+    return jnp.where(m, out, fill)
+
+
+def estimate_normals(
+    pcd: PointCloud,
+    max_nn: int = 30,
+    radius: float | None = None,
+) -> PointCloud:
+    """Per-point normals from the covariance of (radius-capped) k-NN
+    neighborhoods (ref: PointCloud::EstimateNormals, PointCloud.h:522)."""
+    pos = pcd.positions
+    if radius is None:
+        idx, _ = nns.knn_search(pos, pos, max_nn, target_mask=pcd.mask)
+    else:
+        idx, _, _ = nns.hybrid_search(pos, pos, radius, max_nn, target_mask=pcd.mask)
+    nbr = gather_neighbors(pos, idx)  # (N, k, 3)
+    w = (idx >= 0).astype(jnp.float32)[..., None]
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mean = jnp.sum(nbr * w, axis=1) / cnt
+    d = (nbr - mean[:, None, :]) * w
+    cov = jnp.einsum("nki,nkj->nij", d, d) / cnt[..., None]
+    _, evecs = linalg.eigh3x3(cov)
+    normals = evecs[..., 0]  # smallest-eigenvalue direction
+    normals = jnp.where(pcd.mask[:, None], normals, 0.0)
+    return pcd.with_attrs(normals=normals)
+
+
+def orient_normals_to_align_with_direction(pcd: PointCloud, direction=(0.0, 0.0, 1.0)) -> PointCloud:
+    """(ref: PointCloud::OrientNormalsToAlignWithDirection, PointCloud.h:529)"""
+    d = jnp.asarray(direction, jnp.float32)
+    n = pcd.attrs["normals"]
+    flip = jnp.sum(n * d, axis=-1, keepdims=True) < 0
+    return pcd.with_attrs(normals=jnp.where(flip, -n, n))
+
+
+def orient_normals_towards_camera_location(pcd: PointCloud, camera=(0.0, 0.0, 0.0)) -> PointCloud:
+    """(ref: PointCloud::OrientNormalsTowardsCameraLocation, PointCloud.h:537)"""
+    cam = jnp.asarray(camera, jnp.float32)
+    n = pcd.attrs["normals"]
+    to_cam = cam - pcd.positions
+    flip = jnp.sum(n * to_cam, axis=-1, keepdims=True) < 0
+    return pcd.with_attrs(normals=jnp.where(flip, -n, n))
+
+
+def remove_statistical_outliers(pcd: PointCloud, nb_neighbors: int = 20, std_ratio: float = 2.0) -> PointCloud:
+    """Drop points whose mean k-NN distance exceeds mean + std_ratio * std
+    (ref: PointCloud::RemoveStatisticalOutliers, PointCloud.h:402)."""
+    idx, d2 = nns.knn_search(pcd.positions, pcd.positions, nb_neighbors + 1, target_mask=pcd.mask)
+    d = jnp.sqrt(jnp.maximum(d2[:, 1:], 0.0))  # skip self
+    valid = idx[:, 1:] >= 0
+    mean_d = jnp.sum(jnp.where(valid, d, 0.0), axis=1) / jnp.maximum(jnp.sum(valid, axis=1), 1)
+    mu = jnp.sum(jnp.where(pcd.mask, mean_d, 0.0)) / jnp.maximum(jnp.sum(pcd.mask), 1)
+    var = jnp.sum(jnp.where(pcd.mask, (mean_d - mu) ** 2, 0.0)) / jnp.maximum(jnp.sum(pcd.mask), 1)
+    thresh = mu + std_ratio * jnp.sqrt(var)
+    return pcd.select_by_mask(mean_d <= thresh)
+
+
+def remove_radius_outliers(pcd: PointCloud, nb_points: int = 16, search_radius: float = 0.05) -> PointCloud:
+    """Drop points with fewer than nb_points neighbors within search_radius
+    (ref: PointCloud::RemoveRadiusOutliers, PointCloud.h:392)."""
+    _, _, counts = nns.hybrid_search(
+        pcd.positions, pcd.positions, search_radius, nb_points + 1, target_mask=pcd.mask
+    )
+    return pcd.select_by_mask(counts - 1 >= nb_points)  # exclude self
+
+
+def compute_point_cloud_distance(source: PointCloud, target: PointCloud) -> jnp.ndarray:
+    """Per-point distance to nearest target point, 0 for invalid rows
+    (ref: legacy PointCloud::ComputePointCloudDistance)."""
+    _, d2 = nns.one_nn_search(source.positions, target.positions, target_mask=target.mask)
+    return jnp.where(source.mask, jnp.sqrt(jnp.maximum(d2, 0.0)), 0.0)

@@ -1,0 +1,120 @@
+"""PointCloud container + ops tests (ref: cpp/tests/t/geometry/PointCloud.cpp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open3d_tpu.core import lie
+from open3d_tpu.data import synthetic
+from open3d_tpu.geometry import PointCloud
+from open3d_tpu.ops import pointcloud as pc_ops
+
+
+def grid_cloud(n=10, spacing=0.1):
+    xs = np.arange(n) * spacing
+    pts = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1).reshape(-1, 3)
+    return PointCloud.create(pts.astype(np.float32))
+
+
+def test_create_and_mask():
+    pcd = PointCloud.create(np.random.randn(100, 3), capacity=128)
+    assert pcd.capacity == 128
+    assert int(pcd.count()) == 100
+    assert not bool(pcd.mask[100])
+
+
+def test_transform_roundtrip():
+    pcd = grid_cloud(5)
+    T = lie.se3_exp(jnp.array([0.1, 0.2, -0.1, 0.5, -0.3, 0.2]))
+    back = pcd.transform(T).transform(lie.invert_se3(T))
+    valid = np.asarray(pcd.mask)
+    np.testing.assert_allclose(
+        np.asarray(back.positions)[valid], np.asarray(pcd.positions)[valid], atol=1e-4
+    )
+
+
+def test_voxel_down_sample_grid():
+    # 10x10x10 grid at 0.1 spacing, voxel 0.2 -> 5x5x5 = 125 occupied voxels
+    pcd = grid_cloud(10, 0.1)
+    down = pc_ops.voxel_down_sample(pcd, 0.2)
+    assert int(down.count()) == 125
+    # each voxel mean = average of 8 grid points
+    d = down.to_numpy()["positions"]
+    assert d.shape[0] == 125
+    assert abs(d.min() - 0.05) < 1e-5
+
+
+def test_voxel_down_sample_preserves_attrs():
+    pts = np.random.rand(200, 3).astype(np.float32)
+    colors = np.random.rand(200, 3).astype(np.float32)
+    pcd = PointCloud.create(pts, colors=colors)
+    down = pc_ops.voxel_down_sample(pcd, 0.5)
+    out = down.to_numpy()
+    assert "colors" in out
+    assert out["colors"].shape == out["positions"].shape
+    assert out["colors"].min() >= 0.0 and out["colors"].max() <= 1.0
+
+
+def test_estimate_normals_on_sphere():
+    key = jax.random.PRNGKey(0)
+    sdf = lambda p: synthetic.sd_sphere(p, (0.0, 0.0, 0.0), 1.0)
+    pcd = synthetic.sample_surface(sdf, key, 2000, bound=1.5)
+    pcd = pc_ops.estimate_normals(pcd, max_nn=20)
+    pcd = pc_ops.orient_normals_towards_camera_location(pcd, camera=(0.0, 0.0, 0.0))
+    # inward-oriented normals on unit sphere = -position
+    valid = np.asarray(pcd.mask)
+    n = np.asarray(pcd.normals)[valid]
+    p = np.asarray(pcd.positions)[valid]
+    p = p / np.linalg.norm(p, axis=1, keepdims=True)
+    cos = np.abs(np.sum(n * -p, axis=1))
+    assert np.median(cos) > 0.99
+
+
+def test_outlier_removal():
+    rng = np.random.default_rng(0)
+    dense = rng.uniform(0, 1, (500, 3)).astype(np.float32)
+    outliers = rng.uniform(10, 11, (10, 3)).astype(np.float32)
+    pcd = PointCloud.create(np.concatenate([dense, outliers]))
+    cleaned = pc_ops.remove_radius_outliers(pcd, nb_points=5, search_radius=0.3)
+    kept = np.asarray(cleaned.mask)
+    assert kept[:500].sum() > 450
+    assert kept[500:].sum() == 0
+
+
+def test_uniform_and_random_downsample():
+    pcd = grid_cloud(5)
+    u = pc_ops.uniform_down_sample(pcd, 5)
+    assert int(u.count()) == 25
+    r = pc_ops.random_down_sample(pcd, 0.5, jax.random.PRNGKey(0))
+    assert 30 < int(r.count()) < 95
+
+
+def test_farthest_point_downsample():
+    pcd = grid_cloud(6, 0.2)
+    fps = pc_ops.farthest_point_down_sample(pcd, 10)
+    assert int(fps.count()) == 10
+    # FPS points should be well-spread: min pairwise distance reasonably large
+    pts = fps.to_numpy()["positions"]
+    d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    assert d.min() > 0.3
+
+
+def test_crop_and_bounds():
+    pcd = grid_cloud(10, 0.1)
+    c = pcd.crop((0.0, 0.0, 0.0), (0.45, 0.45, 0.45))
+    assert int(c.count()) == 125
+    np.testing.assert_allclose(np.asarray(c.get_max_bound()), [0.4, 0.4, 0.4], atol=1e-5)
+
+
+def test_unproject_project_roundtrip():
+    from open3d_tpu.geometry import pointcloud_from_depth, project_to_rgbd
+    from open3d_tpu.geometry.camera import PinholeCameraIntrinsic
+
+    intr = PinholeCameraIntrinsic(64, 48, 52.0, 52.0, 31.5, 23.5)
+    depth = jnp.full((48, 64), 2.0)
+    pcd = pointcloud_from_depth(depth, intr)
+    assert int(pcd.count()) == 48 * 64
+    rgbd = project_to_rgbd(pcd, intr)
+    center = np.asarray(rgbd.depth)[10:38, 10:54]
+    np.testing.assert_allclose(center, 2.0, atol=1e-3)
