@@ -101,6 +101,31 @@ def eigh3x3(A: jnp.ndarray):
     return evals * scale[..., None], evecs
 
 
+def solve3x3(A: jnp.ndarray, b: jnp.ndarray, damping: float = 1e-9) -> jnp.ndarray:
+    """Batched (..., 3, 3) @ x = (..., 3) via the adjugate (closed form,
+    branch-free; used by color-gradient estimation — reference solves the
+    same tiny systems in-kernel, t/geometry/kernel/PointCloudImpl.h)."""
+    A = A + damping * jnp.eye(3, dtype=A.dtype)
+    a, b_, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b_ * i
+    co02 = b_ * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b_ * g - a * h
+    co22 = a * e - b_ * d
+    det = a * co00 + b_ * co10 + c * co20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < _EPS, jnp.inf, det)
+    x0 = (co00 * b[..., 0] + co01 * b[..., 1] + co02 * b[..., 2]) * inv_det
+    x1 = (co10 * b[..., 0] + co11 * b[..., 1] + co12 * b[..., 2]) * inv_det
+    x2 = (co20 * b[..., 0] + co21 * b[..., 1] + co22 * b[..., 2]) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def cholesky6x6(A: jnp.ndarray) -> jnp.ndarray:
     """Unrolled batched Cholesky for (..., 6, 6) SPD matrices."""
     L = jnp.zeros_like(A)

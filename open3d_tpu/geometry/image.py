@@ -95,10 +95,25 @@ def filter_sobel(img):
     dy = jnp.zeros_like(img)
     for i in range(3):
         for j in range(3):
-            s = _shift2d(img, i - 1, j - 1, fill=0.0)
+            # correlation (no kernel flip): s(y, x) = img(y + i - 1, x + j - 1)
+            s = _shift2d(img, -(i - 1), -(j - 1), fill=0.0)
             dx = dx + kx[i, j] * s
             dy = dy + ky[i, j] * s
     return dx, dy
+
+
+def erode_mask(mask, radius: int = 1):
+    """Binary erosion with a (2r+1)^2 square structuring element; border
+    counts as invalid. Used to reject gradient stencils that touch invalid
+    pixels (the reference gets this for free by using NaN for invalid depth —
+    NaN poisons the Sobel stencil; with 0-as-invalid we must gate explicitly)."""
+    out = mask
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dy == 0 and dx == 0:
+                continue
+            out = out & _shift2d(mask, dy, dx, fill=False)
+    return out
 
 
 def pyrdown(img):
@@ -196,6 +211,37 @@ def bilinear_sample(img, uv, valid_fill=0.0):
     if img.ndim == 3:
         inb = inb[..., None]
     return jnp.where(inb, out, valid_fill)
+
+
+def bilinear_sample_with_grad(img, uv):
+    """Sample an (H, W) image bilinearly and return (value, d/du, d/dv) — the
+    EXACT partial derivatives of the bilinear interpolant. Gauss-Newton on a
+    bilinear residual needs this consistency: with a smoothed (Sobel-map)
+    gradient the fixed point of J^T W r = 0 is displaced from the true cost
+    minimum. Out-of-bounds samples return 0 everywhere."""
+    H, W = img.shape[0], img.shape[1]
+    u = uv[..., 0]
+    v = uv[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    du = u - u0
+    dv = v - v0
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+
+    def gather(vi, ui):
+        return img[jnp.clip(vi, 0, H - 1), jnp.clip(ui, 0, W - 1)]
+
+    g00 = gather(v0i, u0i)
+    g01 = gather(v0i, u0i + 1)
+    g10 = gather(v0i + 1, u0i)
+    g11 = gather(v0i + 1, u0i + 1)
+    val = (g00 * (1 - du) + g01 * du) * (1 - dv) + (g10 * (1 - du) + g11 * du) * dv
+    gu = (g01 - g00) * (1 - dv) + (g11 - g10) * dv
+    gv = (g10 - g00) * (1 - du) + (g11 - g01) * du
+    inb = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+    z = jnp.zeros_like(val)
+    return jnp.where(inb, val, z), jnp.where(inb, gu, z), jnp.where(inb, gv, z)
 
 
 def build_intensity_pyramid(color, levels: int):

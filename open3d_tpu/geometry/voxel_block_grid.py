@@ -1,0 +1,439 @@
+"""Sparse TSDF voxel block grid, TPU-native.
+
+Reference: t/geometry/VoxelBlockGrid.{h,cpp} + kernel/VoxelBlockGridImpl.h —
+a core::HashMap of 16^3 voxel blocks keyed by Int32x3 block coords with value
+buffers {tsdf: f32, weight, color} (ctor VoxelBlockGrid.cpp:65-117);
+GetUniqueBlockCoordinates = frustum "touch" on 4x-downsampled depth
+(.cpp:212-245, kernel DepthTouch); Integrate = Activate+Find then per-voxel
+projective SDF update (VoxelBlockGridImpl.h:153-304); RayCast = sphere trace
+with in-kernel hash lookups (Impl.h:564-1100); ExtractPointCloud =
+zero-crossing detection with neighbor-block tables (.cpp:404-434).
+
+TPU design:
+- the hash table is core/hashmap.py's packed-int32 open-addressing table; the
+  slot index doubles as the value-buffer row, so all voxel payloads live in
+  (capacity+1, B^3) HBM tensors (+1 = scatter dump row);
+- tsdf is stored NORMALIZED to [-1, 1] (sdf / trunc) like the reference;
+- Integrate gathers the touched blocks' payloads, recomputes the projective
+  SDF for all B^3 voxels of up to frame_block_capacity blocks in one fused
+  vectorized pass, and scatters back — no per-voxel kernel launches;
+- RayCast marches all rays in lock-step inside one lax.while_loop with
+  vectorized hash finds per step (the reference's per-thread block cache
+  becomes XLA gather batching).
+
+Everything is a pytree; `integrate` / `raycast` jit cleanly and the grid can
+be donated across frames (in-place buffer reuse under jit).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from open3d_tpu.core import hashmap as hm
+from open3d_tpu.core import lie
+from open3d_tpu.core.masking import FAR_COORD
+from open3d_tpu.geometry.camera import PinholeCameraIntrinsic
+from open3d_tpu.geometry.pointcloud import PointCloud
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["table", "tsdf", "weight", "color"],
+    meta_fields=["voxel_size", "block_resolution", "sdf_trunc"],
+)
+@dataclasses.dataclass(frozen=True)
+class VoxelBlockGrid:
+    table: jnp.ndarray  # (C,) int32 packed block keys (hm.EMPTY = free)
+    tsdf: jnp.ndarray  # (C + 1, B^3) f32, normalized [-1, 1]; row C = dump
+    weight: jnp.ndarray  # (C + 1, B^3) f32
+    color: jnp.ndarray  # (C + 1, B^3, 3) f32  (zeros-size (C+1, 0, 3) if no color)
+    voxel_size: float
+    block_resolution: int
+    sdf_trunc: float
+
+    @property
+    def capacity(self) -> int:
+        return self.table.shape[0]
+
+    @property
+    def block_size(self) -> float:
+        return self.voxel_size * self.block_resolution
+
+    def num_active_blocks(self) -> jnp.ndarray:
+        return jnp.sum(hm.occupied_mask(self.table).astype(jnp.int32))
+
+
+def create(
+    voxel_size: float = 3.0 / 512,
+    block_resolution: int = 16,
+    block_count: int = 40960,
+    sdf_trunc: Optional[float] = None,
+    with_color: bool = True,
+) -> VoxelBlockGrid:
+    """(ref: VoxelBlockGrid ctor, VoxelBlockGrid.cpp:65-117; default trunc =
+    4 voxels, matching trunc_voxel_multiplier=8's half — the reference's
+    common configs use 4-8 voxels; we default 4)."""
+    B3 = block_resolution**3
+    C = block_count
+    return VoxelBlockGrid(
+        table=jnp.full((C,), hm.EMPTY, jnp.int32),
+        tsdf=jnp.zeros((C + 1, B3), jnp.float32),
+        weight=jnp.zeros((C + 1, B3), jnp.float32),
+        color=jnp.zeros((C + 1, B3 if with_color else 0, 3), jnp.float32),
+        voxel_size=float(voxel_size),
+        block_resolution=int(block_resolution),
+        sdf_trunc=float(sdf_trunc if sdf_trunc is not None else 4.0 * voxel_size),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Touch: which blocks does this depth frame intersect?
+# ---------------------------------------------------------------------------
+
+
+def compute_unique_block_coordinates(
+    vbg: VoxelBlockGrid,
+    depth: jnp.ndarray,
+    intrinsic: PinholeCameraIntrinsic,
+    extrinsic: jnp.ndarray,
+    depth_max: float = 3.0,
+    stride: int = 4,
+    frame_block_capacity: int = 4096,
+):
+    """Packed coords of all blocks within sdf_trunc of the depth surface,
+    from a `stride`-downsampled depth image (ref: GetUniqueBlockCoordinates,
+    VoxelBlockGrid.cpp:212-245, kernel DepthTouch). Returns
+    (packed (frame_block_capacity,) int32 padded with EMPTY, count)."""
+    d = depth[::stride, ::stride]
+    H, W = d.shape
+    u = (jnp.arange(W, dtype=jnp.float32) * stride)[None, :]
+    v = (jnp.arange(H, dtype=jnp.float32) * stride)[:, None]
+    valid = (d > 0) & (d < depth_max)
+    x = (u - intrinsic.cx) / intrinsic.fx
+    y = (v - intrinsic.cy) / intrinsic.fy
+    ray = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)  # dir per unit z
+    R = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    cam_origin = -R.T @ t
+
+    bs = vbg.block_size
+    # steps along the ray covering [d - trunc, d + trunc] at block pitch
+    n_steps = max(int(2.0 * vbg.sdf_trunc / bs + 0.5) + 2, 2)
+    zs = jnp.linspace(-vbg.sdf_trunc, vbg.sdf_trunc, n_steps)
+
+    def at_offset(dz):
+        z = d + dz
+        p_cam = ray * z[..., None]
+        p_world = p_cam.reshape(-1, 3) @ R + cam_origin  # R^T row-applied
+        block = jnp.floor(p_world / bs).astype(jnp.int32)
+        packed = hm.pack_coords(block)
+        ok = valid.reshape(-1) & ((d + dz) > 0).reshape(-1)
+        return jnp.where(ok, packed, hm.EMPTY)
+
+    packed_all = jax.vmap(at_offset)(zs).reshape(-1)
+    return hm.unique_packed(packed_all, frame_block_capacity)
+
+
+# ---------------------------------------------------------------------------
+# Integrate
+# ---------------------------------------------------------------------------
+
+
+def _voxel_local_coords(B: int) -> jnp.ndarray:
+    """(B^3, 3) int32 local voxel coords, x fastest (matches flat index
+    x + y*B + z*B^2)."""
+    r = jnp.arange(B, dtype=jnp.int32)
+    z, y, x = jnp.meshgrid(r, r, r, indexing="ij")
+    return jnp.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], axis=-1)
+
+
+def integrate(
+    vbg: VoxelBlockGrid,
+    block_keys: jnp.ndarray,  # (M,) packed, EMPTY-padded (from touch)
+    depth: jnp.ndarray,
+    color: Optional[jnp.ndarray],
+    intrinsic: PinholeCameraIntrinsic,
+    extrinsic: jnp.ndarray,
+    depth_max: float = 3.0,
+    depth_scale: float = 1.0,
+    weight_max: float = 10000.0,
+) -> VoxelBlockGrid:
+    """Fuse one depth (+color) frame (ref: VoxelBlockGrid::Integrate,
+    .cpp:292-326; per-voxel kernel VoxelBlockGridImpl.h:153-304).
+
+    depth must be metric float32 (pass raw/depth_scale yourself or use
+    depth_scale); extrinsic is world->camera.
+    """
+    B = vbg.block_resolution
+    B3 = B**3
+    C = vbg.capacity
+
+    table, slot, ok = hm.activate(vbg.table, block_keys)
+    # rows for invalid/failed blocks go to the dump row C
+    rows = jnp.where(ok, slot, C)
+
+    coords = hm.unpack_coords(block_keys)  # (M, 3)
+    local = _voxel_local_coords(B)  # (B3, 3)
+    # world position of every voxel of every touched block: (M, B3, 3)
+    origin = coords.astype(jnp.float32) * vbg.block_size
+    pw = origin[:, None, :] + (local.astype(jnp.float32) + 0.0) * vbg.voxel_size
+
+    R = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    pc = pw @ R.T + t  # camera frame
+    z = pc[..., 2]
+    u = pc[..., 0] / jnp.maximum(z, 1e-6) * intrinsic.fx + intrinsic.cx
+    v = pc[..., 1] / jnp.maximum(z, 1e-6) * intrinsic.fy + intrinsic.cy
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    inb = (z > 1e-4) & (ui >= 0) & (ui < intrinsic.width) & (vi >= 0) & (vi < intrinsic.height)
+    ui = jnp.clip(ui, 0, intrinsic.width - 1)
+    vi = jnp.clip(vi, 0, intrinsic.height - 1)
+
+    d = depth[vi, ui] / depth_scale  # (M, B3)
+    d_ok = inb & (d > 0) & (d < depth_max)
+    sdf = d - z
+    keep = d_ok & (sdf >= -vbg.sdf_trunc)
+    tsdf_new = jnp.clip(sdf / vbg.sdf_trunc, -1.0, 1.0)
+
+    old_tsdf = vbg.tsdf[rows]
+    old_w = vbg.weight[rows]
+    wn = keep.astype(jnp.float32) * ok[:, None].astype(jnp.float32)
+    w_sum = old_w + wn
+    fused_tsdf = jnp.where(
+        wn > 0, (old_tsdf * old_w + tsdf_new * wn) / jnp.maximum(w_sum, 1e-6), old_tsdf
+    )
+    fused_w = jnp.minimum(w_sum, weight_max)
+
+    tsdf_arr = vbg.tsdf.at[rows].set(fused_tsdf)
+    weight_arr = vbg.weight.at[rows].set(fused_w)
+
+    color_arr = vbg.color
+    if color is not None and vbg.color.shape[1] > 0:
+        cs = color[vi, ui]  # (M, B3, 3)
+        old_c = vbg.color[rows]
+        fused_c = jnp.where(
+            (wn > 0)[..., None],
+            (old_c * old_w[..., None] + cs * wn[..., None]) / jnp.maximum(w_sum, 1e-6)[..., None],
+            old_c,
+        )
+        color_arr = vbg.color.at[rows].set(fused_c)
+
+    return dataclasses.replace(vbg, table=table, tsdf=tsdf_arr, weight=weight_arr, color=color_arr)
+
+
+# ---------------------------------------------------------------------------
+# Sampling helpers
+# ---------------------------------------------------------------------------
+
+
+def _sample_voxels(vbg: VoxelBlockGrid, voxel: jnp.ndarray, max_probes: int = 32):
+    """Nearest-voxel TSDF sample at integer voxel coords (..., 3).
+    Returns (tsdf, weight) with weight 0 where the block is unallocated."""
+    B = vbg.block_resolution
+    block = jnp.floor_divide(voxel, B)
+    local = voxel - block * B
+    flat = local[..., 0] + local[..., 1] * B + local[..., 2] * B * B
+    slot, found = hm.find(vbg.table, hm.pack_coords(block), max_probes)
+    rows = jnp.where(found, slot, vbg.capacity)
+    ts = vbg.tsdf[rows, flat]
+    w = jnp.where(found, vbg.weight[rows, flat], 0.0)
+    return ts, w
+
+
+def _sample_color(vbg: VoxelBlockGrid, voxel: jnp.ndarray, max_probes: int = 32):
+    B = vbg.block_resolution
+    block = jnp.floor_divide(voxel, B)
+    local = voxel - block * B
+    flat = local[..., 0] + local[..., 1] * B + local[..., 2] * B * B
+    slot, found = hm.find(vbg.table, hm.pack_coords(block), max_probes)
+    rows = jnp.where(found, slot, vbg.capacity)
+    c = vbg.color[rows, flat]
+    return jnp.where(found[..., None], c, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Raycast
+# ---------------------------------------------------------------------------
+
+
+class RaycastResult(NamedTuple):
+    depth: jnp.ndarray  # (H, W) f32, 0 = miss
+    vertex: jnp.ndarray  # (H, W, 3) world-frame
+    color: jnp.ndarray  # (H, W, 3)
+    mask: jnp.ndarray  # (H, W) bool
+
+
+def raycast(
+    vbg: VoxelBlockGrid,
+    intrinsic: PinholeCameraIntrinsic,
+    extrinsic: jnp.ndarray,
+    depth_min: float = 0.1,
+    depth_max: float = 3.0,
+    max_steps: int = 192,
+    with_color: bool = True,
+) -> RaycastResult:
+    """Render depth/vertex/color maps by sphere-tracing the TSDF
+    (ref: VoxelBlockGrid::RayCast, .cpp:328-402; kernel Impl.h:564-1100).
+
+    March: unallocated space advances by 0.9*block_size, allocated space by
+    max(tsdf*trunc, voxel_size); a +→− sign change refines the hit with the
+    secant rule, like the reference's in-kernel interpolation.
+    """
+    H, W = intrinsic.height, intrinsic.width
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    x = (jnp.zeros((H, 1)) + u - intrinsic.cx) / intrinsic.fx
+    y = (v + jnp.zeros((1, W)) - intrinsic.cy) / intrinsic.fy
+    ray_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1).reshape(-1, 3)
+    R = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    origin = -R.T @ t
+    dirs = ray_cam @ R  # world, per unit z-depth
+    inv_vs = 1.0 / vbg.voxel_size
+    N = dirs.shape[0]
+
+    def sample(z):
+        p = origin + dirs * z[:, None]
+        voxel = jnp.floor(p * inv_vs).astype(jnp.int32)
+        return _sample_voxels(vbg, voxel)
+
+    def cond(carry):
+        z, prev_t, prev_z, hit_z, done, it = carry
+        return (it < max_steps) & ~jnp.all(done)
+
+    def body(carry):
+        z, prev_t, prev_z, hit_z, done, it = carry
+        ts, w = sample(z)
+        alloc = w > 0
+        # hit: previous sample positive, current negative
+        crossing = alloc & (prev_t > 0) & (ts <= 0) & ~done
+        z_hit = prev_z + prev_t / jnp.maximum(prev_t - ts, 1e-6) * (z - prev_z)
+        hit_z = jnp.where(crossing, z_hit, hit_z)
+        done = done | crossing | (z > depth_max)
+        step = jnp.where(
+            alloc,
+            jnp.maximum(ts * vbg.sdf_trunc, vbg.voxel_size),
+            0.9 * vbg.block_size,
+        )
+        prev_t = jnp.where(alloc, ts, 1.0)  # reset interp base in empty space
+        prev_z = z
+        z = jnp.where(done, z, z + step)
+        return z, prev_t, prev_z, hit_z, done, it + 1
+
+    z0 = jnp.full((N,), depth_min, jnp.float32)
+    init = (
+        z0,
+        jnp.ones((N,), jnp.float32),
+        z0,
+        jnp.zeros((N,), jnp.float32),
+        jnp.zeros((N,), bool),
+        jnp.zeros((), jnp.int32),
+    )
+    _, _, _, hit_z, _, _ = jax.lax.while_loop(cond, body, init)
+
+    mask = hit_z > 0
+    depth_img = jnp.where(mask, hit_z, 0.0).reshape(H, W)
+    p_hit = origin + dirs * hit_z[:, None]
+    vertex = jnp.where(mask[:, None], p_hit, 0.0).reshape(H, W, 3)
+    if with_color and vbg.color.shape[1] > 0:
+        voxel = jnp.floor(p_hit * inv_vs).astype(jnp.int32)
+        col = _sample_color(vbg, voxel)
+        color_img = jnp.where(mask[:, None], col, 0.0).reshape(H, W, 3)
+    else:
+        color_img = jnp.zeros((H, W, 3), jnp.float32)
+    return RaycastResult(depth=depth_img, vertex=vertex, color=color_img, mask=mask.reshape(H, W))
+
+
+# ---------------------------------------------------------------------------
+# Extraction
+# ---------------------------------------------------------------------------
+
+
+def extract_point_cloud(
+    vbg: VoxelBlockGrid,
+    point_capacity: int = 262144,
+    weight_threshold: float = 3.0,
+) -> PointCloud:
+    """Zero-crossing surface points with gradient normals
+    (ref: VoxelBlockGrid::ExtractPointCloud, .cpp:404-434; kernel
+    Impl.h ExtractPointCloud — 27-neighbor block tables become vectorized
+    hash finds on the +x/+y/+z face slabs here).
+    """
+    B = vbg.block_resolution
+    B3 = B**3
+    C = vbg.capacity
+    occ = hm.occupied_mask(vbg.table)
+    coords = hm.unpack_coords(vbg.table)  # (C, 3), garbage where unoccupied
+    local = _voxel_local_coords(B)  # (B3, 3)
+
+    # neighbor voxel value t(v + e_axis) for every voxel of every block:
+    # in-block shift where possible, +axis neighbor block's face slab else.
+    def neighbor_vals(axis):
+        e = jnp.zeros((3,), jnp.int32).at[axis].set(1)
+        nb_slot, nb_found = hm.find(vbg.table, hm.pack_coords(coords + e))
+        nb_rows = jnp.where(nb_found & occ, nb_slot, C)
+        nxt = local + e
+        inside = nxt[:, axis] < B
+        wrapped = jnp.where(inside[:, None], nxt, nxt - e * B)
+        flat = wrapped[:, 0] + wrapped[:, 1] * B + wrapped[:, 2] * B * B
+        own = jnp.arange(C)
+        t_in = vbg.tsdf[own[:, None], flat[None, :]]
+        w_in = vbg.weight[own[:, None], flat[None, :]]
+        t_out = vbg.tsdf[nb_rows[:, None], flat[None, :]]
+        w_out = vbg.weight[nb_rows[:, None], flat[None, :]]
+        tn = jnp.where(inside[None, :], t_in, t_out)
+        wn = jnp.where(inside[None, :], w_in, w_out)
+        return tn, wn
+
+    t0 = vbg.tsdf[:C]
+    w0 = vbg.weight[:C]
+    points = []
+    norms = []
+    cols = []
+    masks = []
+    txs, wxs = [], []
+    for axis in range(3):
+        tn, wn = neighbor_vals(axis)
+        txs.append(tn)
+        wxs.append(wn)
+    # gradient for normals from forward differences
+    grad = jnp.stack([txs[0] - t0, txs[1] - t0, txs[2] - t0], axis=-1)
+    gnorm = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
+
+    base_w_ok = occ[:, None] & (w0 >= weight_threshold)
+    origin = coords.astype(jnp.float32) * vbg.block_size
+    vpos = origin[:, None, :] + local.astype(jnp.float32)[None, :, :] * vbg.voxel_size
+
+    for axis in range(3):
+        tn, wn = txs[axis], wxs[axis]
+        cross = base_w_ok & (wn >= weight_threshold) & (t0 * tn < 0)
+        frac = t0 / jnp.maximum(t0 - tn, 1e-9)
+        e = jnp.zeros((3,), jnp.float32).at[axis].set(vbg.voxel_size)
+        p = vpos + frac[..., None] * e
+        points.append(p.reshape(-1, 3))
+        norms.append(gnorm.reshape(-1, 3))
+        masks.append(cross.reshape(-1))
+        if vbg.color.shape[1] > 0:
+            cols.append(vbg.color[:C].reshape(-1, 3))
+
+    pts = jnp.concatenate(points, axis=0)
+    nrm = jnp.concatenate(norms, axis=0)
+    msk = jnp.concatenate(masks, axis=0)
+
+    # compact into the fixed-capacity output cloud
+    from open3d_tpu.core.masking import compact_indices
+
+    idx, count = compact_indices(msk, point_capacity)
+    sel_mask = jnp.arange(point_capacity) < count
+    out_pos = jnp.where(sel_mask[:, None], pts[idx], FAR_COORD)
+    attrs = {"normals": jnp.where(sel_mask[:, None], nrm[idx], 0.0)}
+    if cols:
+        cc = jnp.concatenate(cols, axis=0)
+        attrs["colors"] = jnp.where(sel_mask[:, None], cc[idx], 0.0)
+    return PointCloud(positions=out_pos, mask=sel_mask, attrs=attrs)

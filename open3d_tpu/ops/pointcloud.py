@@ -150,6 +150,48 @@ def orient_normals_towards_camera_location(pcd: PointCloud, camera=(0.0, 0.0, 0.
     return pcd.with_attrs(normals=jnp.where(flip, -n, n))
 
 
+def estimate_color_gradients(
+    pcd: PointCloud,
+    max_nn: int = 30,
+    radius: float | None = None,
+) -> PointCloud:
+    """Per-point tangent-plane color (intensity) gradient for colored ICP
+    (ref: PointCloud::EstimateColorGradients, PointCloud.h:571; kernel
+    EstimateColorGradientsUsingHybridSearch, t/geometry/kernel/PointCloudImpl.h).
+
+    For each point i with normal n and intensity c_i, solves the 3x3
+    least-squares system over neighbors j:
+        g . d_j = c_j - c_i  where d_j = tangent-plane projection of (p_j - p_i)
+    with the constraint g . n = 0 folded in as an extra row.
+    """
+    if "normals" not in pcd.attrs:
+        raise ValueError("estimate_color_gradients requires normals")
+    pos = pcd.positions
+    nrm = pcd.attrs["normals"]
+    colors = pcd.attrs["colors"]
+    inten = jnp.mean(colors, axis=-1) if colors.ndim == 2 and colors.shape[-1] == 3 else colors.reshape(-1)
+
+    if radius is None:
+        idx, _ = nns.knn_search(pos, pos, max_nn, target_mask=pcd.mask)
+    else:
+        idx, _, _ = nns.hybrid_search(pos, pos, radius, max_nn, target_mask=pcd.mask)
+    w = (idx >= 0).astype(jnp.float32)
+    nbr_p = gather_neighbors(pos, idx)  # (N, k, 3)
+    nbr_c = gather_neighbors(inten, idx)  # (N, k)
+
+    d = nbr_p - pos[:, None, :]
+    d = d - nrm[:, None, :] * jnp.sum(d * nrm[:, None, :], axis=-1, keepdims=True)
+    dc = nbr_c - inten[:, None]
+    dw = d * w[..., None]
+    AtA = jnp.einsum("nki,nkj->nij", dw, d)
+    Atb = jnp.einsum("nki,nk->ni", dw, dc)
+    # constraint row n . g = 0 with the reference's unit weight-per-row scale
+    AtA = AtA + jnp.einsum("ni,nj->nij", nrm, nrm)
+    g = linalg.solve3x3(AtA + 1e-6 * jnp.eye(3, dtype=pos.dtype), Atb)
+    g = jnp.where(pcd.mask[:, None], g, 0.0)
+    return pcd.with_attrs(color_gradients=g)
+
+
 def remove_statistical_outliers(pcd: PointCloud, nb_neighbors: int = 20, std_ratio: float = 2.0) -> PointCloud:
     """Drop points whose mean k-NN distance exceeds mean + std_ratio * std
     (ref: PointCloud::RemoveStatisticalOutliers, PointCloud.h:402)."""

@@ -1,0 +1,1 @@
+from open3d_tpu.pipelines import registration, robust_kernels  # noqa: F401
