@@ -114,8 +114,8 @@ def compute_unique_block_coordinates(
     u = (jnp.arange(W, dtype=jnp.float32) * stride)[None, :]
     v = (jnp.arange(H, dtype=jnp.float32) * stride)[:, None]
     valid = (d > 0) & (d < depth_max)
-    x = (u - intrinsic.cx) / intrinsic.fx
-    y = (v - intrinsic.cy) / intrinsic.fy
+    x = jnp.broadcast_to((u - intrinsic.cx) / intrinsic.fx, (H, W))
+    y = jnp.broadcast_to((v - intrinsic.cy) / intrinsic.fy, (H, W))
     ray = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)  # dir per unit z
     R = extrinsic[:3, :3]
     t = extrinsic[:3, 3]
@@ -246,6 +246,33 @@ def _sample_voxels(vbg: VoxelBlockGrid, voxel: jnp.ndarray, max_probes: int = 32
     return ts, w
 
 
+def _sample_tsdf_trilinear(vbg: VoxelBlockGrid, p: jnp.ndarray, max_probes: int = 32):
+    """Trilinearly interpolated TSDF at world positions p (..., 3)
+    (ref: the in-kernel trilinear interp of VoxelBlockGridImpl.h raycast).
+    Voxel v's sample point is at world v * voxel_size (corner convention,
+    matching integrate). Returns (tsdf, wsum) where wsum is the summed
+    interpolation weight over ALLOCATED corners (0 = no data)."""
+    g = p / vbg.voxel_size
+    g0 = jnp.floor(g).astype(jnp.int32)
+    f = g - g0.astype(jnp.float32)
+    ts_acc = jnp.zeros(p.shape[:-1], jnp.float32)
+    w_acc = jnp.zeros(p.shape[:-1], jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                corner = jnp.array([dx, dy, dz], jnp.int32)
+                wt = (
+                    jnp.where(dx, f[..., 0], 1.0 - f[..., 0])
+                    * jnp.where(dy, f[..., 1], 1.0 - f[..., 1])
+                    * jnp.where(dz, f[..., 2], 1.0 - f[..., 2])
+                )
+                ts, w = _sample_voxels(vbg, g0 + corner, max_probes)
+                alloc = w > 0
+                ts_acc = ts_acc + jnp.where(alloc, wt * ts, 0.0)
+                w_acc = w_acc + jnp.where(alloc, wt, 0.0)
+    return ts_acc / jnp.maximum(w_acc, 1e-6), w_acc
+
+
 def _sample_color(vbg: VoxelBlockGrid, voxel: jnp.ndarray, max_probes: int = 32):
     B = vbg.block_resolution
     block = jnp.floor_divide(voxel, B)
@@ -304,27 +331,32 @@ def raycast(
         return _sample_voxels(vbg, voxel)
 
     def cond(carry):
-        z, prev_t, prev_z, hit_z, done, it = carry
+        z, prev_t, prev_z, z_lo, z_hi, done, it = carry
         return (it < max_steps) & ~jnp.all(done)
 
     def body(carry):
-        z, prev_t, prev_z, hit_z, done, it = carry
+        z, prev_t, prev_z, z_lo, z_hi, done, it = carry
         ts, w = sample(z)
         alloc = w > 0
-        # hit: previous sample positive, current negative
+        # hit: previous sample positive, current negative — keep the bracket
         crossing = alloc & (prev_t > 0) & (ts <= 0) & ~done
-        z_hit = prev_z + prev_t / jnp.maximum(prev_t - ts, 1e-6) * (z - prev_z)
-        hit_z = jnp.where(crossing, z_hit, hit_z)
+        z_lo = jnp.where(crossing, prev_z, z_lo)
+        z_hi = jnp.where(crossing, z, z_hi)
         done = done | crossing | (z > depth_max)
+        # conservative marching: the projective TSDF over-estimates euclidean
+        # distance (tunnels at grazing incidence), so advance by half of it;
+        # unallocated space advances by half a block so a one-block-thick
+        # shell cannot be jumped over (the reference instead rasterizes
+        # per-tile block range maps, Impl.h:307 EstimateRange).
         step = jnp.where(
             alloc,
-            jnp.maximum(ts * vbg.sdf_trunc, vbg.voxel_size),
-            0.9 * vbg.block_size,
+            jnp.maximum(0.75 * ts * vbg.sdf_trunc, vbg.voxel_size),
+            0.5 * vbg.block_size,
         )
         prev_t = jnp.where(alloc, ts, 1.0)  # reset interp base in empty space
         prev_z = z
         z = jnp.where(done, z, z + step)
-        return z, prev_t, prev_z, hit_z, done, it + 1
+        return z, prev_t, prev_z, z_lo, z_hi, done, it + 1
 
     z0 = jnp.full((N,), depth_min, jnp.float32)
     init = (
@@ -332,10 +364,29 @@ def raycast(
         jnp.ones((N,), jnp.float32),
         z0,
         jnp.zeros((N,), jnp.float32),
+        jnp.zeros((N,), jnp.float32),
         jnp.zeros((N,), bool),
         jnp.zeros((), jnp.int32),
     )
-    _, _, _, hit_z, _, _ = jax.lax.while_loop(cond, body, init)
+    _, _, _, z_lo, z_hi, _, _ = jax.lax.while_loop(cond, body, init)
+
+    hit = z_hi > 0
+    # sub-voxel refinement: bisection on the TRILINEAR tsdf inside the bracket
+    # (the reference refines with trilinear interpolation in-kernel,
+    # VoxelBlockGridImpl.h:740-860); 6 rounds -> bracket/64 accuracy.
+    t_lo = jnp.ones((N,), jnp.float32)
+    t_hi = -jnp.ones((N,), jnp.float32)
+    for _ in range(6):
+        zm = 0.5 * (z_lo + z_hi)
+        tm, wm = _sample_tsdf_trilinear(vbg, origin + dirs * zm[:, None])
+        neg = (tm <= 0) & (wm > 0.25)
+        z_hi = jnp.where(hit & neg, zm, z_hi)
+        t_hi = jnp.where(hit & neg, tm, t_hi)
+        z_lo = jnp.where(hit & ~neg, zm, z_lo)
+        t_lo = jnp.where(hit & ~neg, tm, t_lo)
+    # final secant inside the last bracket
+    hit_z = z_lo + t_lo / jnp.maximum(t_lo - t_hi, 1e-6) * (z_hi - z_lo)
+    hit_z = jnp.where(hit, hit_z, 0.0)
 
     mask = hit_z > 0
     depth_img = jnp.where(mask, hit_z, 0.0).reshape(H, W)

@@ -1,0 +1,196 @@
+"""Dense RGB-D SLAM: frame-to-model tracking over a TSDF voxel block grid.
+
+Reference: t/pipelines/slam/Model.{h,cpp} (Model.h:25) + the driver
+examples/python/t_reconstruction_system/dense_slam.py:23-67 —
+SynthesizeModelFrame = VBG.RayCast from the last pose (Model.cpp:38-49),
+TrackFrameToModel = RGBDOdometryMultiScale(input, raycast, PointToPlane)
+(Model.cpp:68-89), Integrate = frustum touch + VBG.Integrate (Model.cpp:91-105).
+
+TPU design: the whole per-frame body (track -> integrate -> raycast) is one
+jitted function over a fixed-capacity VoxelBlockGrid pytree; the grid buffers
+are donated across frames so XLA updates them in place. The reference instead
+launches ~10 CUDA kernels per frame with a D2H pose sync per Gauss-Newton
+iteration; here the pose solve (6x6) stays on device inside lax.while_loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from open3d_tpu.core import lie
+from open3d_tpu.geometry import voxel_block_grid as vbg_mod
+from open3d_tpu.geometry.camera import PinholeCameraIntrinsic
+from open3d_tpu.geometry.rgbd import RGBDImage
+from open3d_tpu.geometry.voxel_block_grid import VoxelBlockGrid
+from open3d_tpu.pipelines import odometry as odom
+
+
+@dataclasses.dataclass(frozen=True)
+class SLAMConfig:
+    """Knob names follow the reference's default_config.yml
+    (examples/python/t_reconstruction_system/default_config.yml)."""
+
+    voxel_size: float = 3.0 / 512
+    block_resolution: int = 16
+    block_count: int = 40960
+    depth_scale: float = 1000.0
+    depth_min: float = 0.1
+    depth_max: float = 3.0
+    trunc_voxel_multiplier: float = 8.0
+    odometry_method: str = odom.POINT_TO_PLANE
+    frame_block_capacity: int = 8192
+    raycast_max_steps: int = 160
+    with_color: bool = True
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["vbg", "T_frame_to_world", "frame_id"],
+    meta_fields=["config"],
+)
+@dataclasses.dataclass(frozen=True)
+class SLAMModel:
+    """(ref: slam/Model.h:25 — voxel_grid_, T_frame_to_world_, frame_id_)"""
+
+    vbg: VoxelBlockGrid
+    T_frame_to_world: jnp.ndarray  # (4, 4) f32
+    frame_id: jnp.ndarray  # () int32
+    config: SLAMConfig
+
+
+class FrameResult(NamedTuple):
+    model: SLAMModel
+    tracking_ok: jnp.ndarray  # () bool
+    fitness: jnp.ndarray
+    inlier_rmse: jnp.ndarray
+    raycast_depth: jnp.ndarray  # (H, W) model frame for the NEXT track
+    raycast_color: jnp.ndarray  # (H, W, 3)
+
+
+def create_model(config: SLAMConfig = SLAMConfig(), T_init: Optional[jnp.ndarray] = None) -> SLAMModel:
+    vbg = vbg_mod.create(
+        voxel_size=config.voxel_size,
+        block_resolution=config.block_resolution,
+        block_count=config.block_count,
+        sdf_trunc=config.trunc_voxel_multiplier * config.voxel_size / 2.0,
+        with_color=config.with_color,
+    )
+    T = jnp.eye(4, dtype=jnp.float32) if T_init is None else T_init.astype(jnp.float32)
+    return SLAMModel(vbg=vbg, T_frame_to_world=T, frame_id=jnp.zeros((), jnp.int32), config=config)
+
+
+def synthesize_model_frame(
+    model: SLAMModel, intrinsic: PinholeCameraIntrinsic
+) -> vbg_mod.RaycastResult:
+    """Raycast the TSDF from the current pose (ref: Model::SynthesizeModelFrame,
+    slam/Model.cpp:38-49). extrinsic = world->frame = inv(T_frame_to_world)."""
+    cfg = model.config
+    return vbg_mod.raycast(
+        model.vbg,
+        intrinsic,
+        lie.invert_se3(model.T_frame_to_world),
+        depth_min=cfg.depth_min,
+        depth_max=cfg.depth_max,
+        max_steps=cfg.raycast_max_steps,
+        with_color=cfg.with_color,
+    )
+
+
+def track_frame_to_model(
+    model: SLAMModel,
+    input_depth: jnp.ndarray,  # metric f32, 0 = invalid
+    model_depth: jnp.ndarray,  # raycast depth from the last pose
+    intrinsic: PinholeCameraIntrinsic,
+    criteria=(
+        odom.OdometryConvergenceCriteria(6),
+        odom.OdometryConvergenceCriteria(3),
+        odom.OdometryConvergenceCriteria(1),
+    ),
+) -> odom.OdometryResult:
+    """Frame-to-model odometry (ref: Model::TrackFrameToModel, Model.cpp:68-89):
+    source = input frame, target = raycast of the model at the previous pose;
+    the returned T maps input-frame points into the model-frame (delta pose)."""
+    src = RGBDImage(color=jnp.zeros_like(input_depth), depth=input_depth)
+    tgt = RGBDImage(color=jnp.zeros_like(model_depth), depth=model_depth)
+    return odom.rgbd_odometry_multi_scale(
+        src,
+        tgt,
+        intrinsic,
+        method=model.config.odometry_method,
+        criteria=criteria,
+    )
+
+
+def integrate_frame(
+    model: SLAMModel,
+    depth: jnp.ndarray,
+    color: Optional[jnp.ndarray],
+    intrinsic: PinholeCameraIntrinsic,
+) -> SLAMModel:
+    """Touch + integrate (ref: Model::Integrate, Model.cpp:91-105)."""
+    cfg = model.config
+    extrinsic = lie.invert_se3(model.T_frame_to_world)
+    keys, _ = vbg_mod.compute_unique_block_coordinates(
+        model.vbg,
+        depth,
+        intrinsic,
+        extrinsic,
+        depth_max=cfg.depth_max,
+        frame_block_capacity=cfg.frame_block_capacity,
+    )
+    new_vbg = vbg_mod.integrate(
+        model.vbg,
+        keys,
+        depth,
+        color,
+        intrinsic,
+        extrinsic,
+        depth_max=cfg.depth_max,
+    )
+    return dataclasses.replace(model, vbg=new_vbg)
+
+
+def slam_step(
+    model: SLAMModel,
+    depth: jnp.ndarray,  # metric f32 (already clip_transform'ed)
+    color: Optional[jnp.ndarray],
+    model_depth: jnp.ndarray,  # raycast from previous step (zeros on frame 0)
+    intrinsic: PinholeCameraIntrinsic,
+    fitness_threshold: float = 0.1,
+) -> FrameResult:
+    """One dense-SLAM frame: track -> update pose -> integrate -> raycast.
+
+    Mirrors the per-frame body of dense_slam.py:23-67; jit this whole function
+    (donate `model`) and scan it over a sequence. Tracking failures (fitness
+    below threshold, ref dense_slam.py uses try/except on odometry) keep the
+    previous pose, matching the reference's skip-on-failure behavior.
+    """
+    is_first = model.frame_id == 0
+
+    result = track_frame_to_model(model, depth, model_depth, intrinsic)
+    ok = (~is_first) & (result.fitness > fitness_threshold)
+    delta = jnp.where(ok, result.transformation, jnp.eye(4, dtype=jnp.float32))
+    # odometry delta maps new-frame points into the previous frame
+    # (src->tgt), so T_frame_to_world <- T_prev_frame_to_world @ delta —
+    # same composition as the reference driver (dense_slam.py:52).
+    T_new = model.T_frame_to_world @ jnp.where(
+        is_first, jnp.eye(4, dtype=jnp.float32), delta
+    )
+    model = dataclasses.replace(model, T_frame_to_world=T_new)
+
+    model = integrate_frame(model, depth, color, intrinsic)
+    ray = synthesize_model_frame(model, intrinsic)
+    model = dataclasses.replace(model, frame_id=model.frame_id + 1)
+    return FrameResult(
+        model=model,
+        tracking_ok=ok | is_first,
+        fitness=result.fitness,
+        inlier_rmse=result.inlier_rmse,
+        raycast_depth=ray.depth,
+        raycast_color=ray.color,
+    )

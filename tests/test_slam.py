@@ -1,0 +1,80 @@
+"""Dense SLAM frame-to-model tests on the synthetic scene.
+
+Mirrors the reference's golden-value strategy (SURVEY.md §4): run the
+flagship pipeline on a scene with exact ground truth and assert trajectory
+error bounds (the reference asserts fitness/rmse goldens on Redwood
+fragments; here GT poses are exact so we check ATE directly).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from open3d_tpu.core import lie
+from open3d_tpu.data import synthetic
+from open3d_tpu.models import dense_slam
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    return synthetic.render_sequence(6, span=0.25)
+
+
+def test_slam_tracks_and_reconstructs(sequence):
+    depths, colors, extrinsics, intrinsic = sequence
+    cfg = dense_slam.SLAMConfig(
+        voxel_size=0.03,
+        block_count=4096,
+        frame_block_capacity=2048,
+        depth_max=6.0,
+        raycast_max_steps=120,
+    )
+    model = dense_slam.create_model(cfg, T_init=lie.invert_se3(extrinsics[0]))
+
+    step = jax.jit(
+        lambda m, d, c, rd: dense_slam.slam_step(m, d, c, rd, intrinsic),
+        donate_argnums=(0,),
+    )
+
+    ray_depth = jnp.zeros_like(depths[0])
+    poses = []
+    for i in range(depths.shape[0]):
+        res = step(model, depths[i], colors[i], ray_depth)
+        model = res.model
+        ray_depth = res.raycast_depth
+        # donation invalidates model buffers on the next call — copy to host
+        poses.append(jax.device_get(model.T_frame_to_world))
+
+    # trajectory error vs ground truth (T_frame_to_world = inv(extrinsic))
+    rot_errs, trans_errs = [], []
+    for i, T in enumerate(poses):
+        gt = lie.invert_se3(extrinsics[i])
+        rot_e, trans_e = lie.pose_distance(T, gt)
+        rot_errs.append(float(rot_e))
+        trans_errs.append(float(trans_e))
+    assert max(trans_errs) < 0.05, f"translation errors {trans_errs}"
+    assert max(rot_errs) < 0.05, f"rotation errors {rot_errs}"
+
+    # the model raycast from the final pose should match the rendered depth.
+    # TSDF raycasts show "foreground fattening" halos at silhouette edges
+    # (meters-scale errors on a few % of pixels — the reference has the same
+    # artifact), so assert the MEDIAN error and the gross-outlier fraction.
+    import numpy as np
+
+    valid = (ray_depth > 0) & (depths[-1] > 0)
+    frac_valid = float(jnp.mean(valid.astype(jnp.float32)))
+    assert frac_valid > 0.5
+    err = np.abs(np.asarray(ray_depth - depths[-1]))[np.asarray(valid)]
+    assert float(np.median(err)) < 0.01, f"median raycast depth err {np.median(err)}"
+    assert float((err > 0.05).mean()) < 0.15, f"gross outlier frac {(err > 0.05).mean()}"
+
+
+def test_slam_first_frame_identity(sequence):
+    depths, colors, extrinsics, intrinsic = sequence
+    cfg = dense_slam.SLAMConfig(voxel_size=0.04, block_count=2048, frame_block_capacity=1024, depth_max=6.0)
+    model = dense_slam.create_model(cfg)
+    res = dense_slam.slam_step(model, depths[0], colors[0], jnp.zeros_like(depths[0]), intrinsic)
+    # frame 0 keeps the init pose and must report tracking ok
+    assert bool(res.tracking_ok)
+    assert jnp.allclose(res.model.T_frame_to_world, jnp.eye(4), atol=1e-6)
+    assert int(res.model.vbg.num_active_blocks()) > 0
