@@ -60,14 +60,23 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3, 3) -> (..., 3). Stable for theta in [0, pi)."""
+    """(..., 3, 3) -> (..., 3). Stable for theta in [0, pi).
+
+    Every branch is guarded with the double-where idiom so forward/reverse AD
+    through the *untaken* branch never produces NaN (jacfwd of pose-graph
+    residuals differentiates this at exactly theta = 0)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     w_raw = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
+    small = cos_theta > 1.0 - 1e-7  # theta < ~4.5e-4
+    # mid branch: arccos of a value bounded away from +-1 (finite derivative)
+    cos_mid = jnp.clip(jnp.where(small, 0.0, cos_theta), -1.0, 1.0 - 1e-7)
+    theta = jnp.arccos(cos_mid)
     sin_theta = jnp.sin(theta)
-    # theta / sin(theta) with Taylor guard
-    scale = jnp.where(theta < 1e-4, 1.0 + theta * theta / 6.0, theta / jnp.maximum(sin_theta, _EPS))
+    scale_mid = theta / jnp.maximum(sin_theta, _EPS)
+    # small branch: theta/sin(theta) = 1 + t^2/6 + O(t^4), t^2 ~ 2(1-cos t)
+    scale_small = 1.0 + (1.0 - cos_theta) / 3.0
+    scale = jnp.where(small, scale_small, scale_mid)
     w = w_raw * scale[..., None]
     # Near theta = pi, sin(theta) ~ 0 and the above is ill-conditioned. Recover
     # the axis from the symmetric part: (R + R^T)/2 = cos(t) I + (1-cos t) n n^T,
@@ -83,6 +92,8 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     n2 = jnp.maximum(
         jnp.stack([outer[..., 0, 0], outer[..., 1, 1], outer[..., 2, 2]], axis=-1), 0.0
     )
+    # sqrt-at-0 has an infinite derivative: keep the untaken branch away from 0
+    n2 = jnp.where(near_pi[..., None], n2, 1.0)
     k = jnp.argmax(n2, axis=-1)
     row = jnp.take_along_axis(outer, k[..., None, None].repeat(3, axis=-1), axis=-2)[..., 0, :]
     nk = jnp.sqrt(jnp.take_along_axis(n2, k[..., None], axis=-1))[..., 0]
@@ -94,7 +105,8 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     # sqrt(eps)); recover theta from the antisymmetric part instead:
     # ||w_raw|| = sin(theta), and theta = pi - arcsin(sin theta) for theta
     # in (pi/2, pi], which is well-conditioned.
-    sin_norm = jnp.clip(jnp.linalg.norm(w_raw, axis=-1), 0.0, 1.0)
+    w_raw_safe = jnp.where(near_pi[..., None], w_raw, 1.0)  # norm'(0) is inf
+    sin_norm = jnp.clip(jnp.linalg.norm(w_raw_safe, axis=-1), 0.0, 1.0 - 1e-7)
     theta_pi = jnp.pi - jnp.arcsin(sin_norm)
     w_pi = axis * (s * theta_pi)[..., None]
     return jnp.where(near_pi[..., None], w_pi, w)
