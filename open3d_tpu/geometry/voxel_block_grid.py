@@ -210,8 +210,10 @@ def integrate(
     )
     fused_w = jnp.minimum(w_sum, weight_max)
 
-    tsdf_arr = vbg.tsdf.at[rows].set(fused_tsdf)
-    weight_arr = vbg.weight.at[rows].set(fused_w)
+    # invariant: the dump row C stays all-zero (readers treat row C as
+    # "missing block"), so clear whatever the scatter spilled into it
+    tsdf_arr = vbg.tsdf.at[rows].set(fused_tsdf).at[C].set(0.0)
+    weight_arr = vbg.weight.at[rows].set(fused_w).at[C].set(0.0)
 
     color_arr = vbg.color
     if color is not None and vbg.color.shape[1] > 0:
@@ -222,7 +224,7 @@ def integrate(
             (old_c * old_w[..., None] + cs * wn[..., None]) / jnp.maximum(w_sum, 1e-6)[..., None],
             old_c,
         )
-        color_arr = vbg.color.at[rows].set(fused_c)
+        color_arr = vbg.color.at[rows].set(fused_c).at[C].set(0.0)
 
     return dataclasses.replace(vbg, table=table, tsdf=tsdf_arr, weight=weight_arr, color=color_arr)
 
@@ -464,7 +466,8 @@ def extract_point_cloud(
     for axis in range(3):
         tn, wn = txs[axis], wxs[axis]
         cross = base_w_ok & (wn >= weight_threshold) & (t0 * tn < 0)
-        frac = t0 / jnp.maximum(t0 - tn, 1e-9)
+        denom = t0 - tn  # sign-preserving: clamping with max() breaks t0 < 0
+        frac = jnp.clip(t0 / jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9), 0.0, 1.0)
         e = jnp.zeros((3,), jnp.float32).at[axis].set(vbg.voxel_size)
         p = vpos + frac[..., None] * e
         points.append(p.reshape(-1, 3))
@@ -488,3 +491,179 @@ def extract_point_cloud(
         cc = jnp.concatenate(cols, axis=0)
         attrs["colors"] = jnp.where(sel_mask[:, None], cc[idx], 0.0)
     return PointCloud(positions=out_pos, mask=sel_mask, attrs=attrs)
+
+
+# ---------------------------------------------------------------------------
+# Triangle mesh extraction: marching tetrahedra
+# ---------------------------------------------------------------------------
+#
+# Reference: VoxelBlockGrid::ExtractTriangleMesh (.cpp:436+) runs classic
+# marching cubes with the 256-case constant table
+# (pipelines/integration/MarchingCubesConst.h) and a shared-vertex map built
+# from per-edge atomics. TPU design: *marching tetrahedra* instead — each
+# cube splits into 6 tetrahedra along the 0-7 diagonal; the 16-case tet
+# table is generated programmatically below (no big constant table, no
+# atomics), every case emits <= 2 triangles, and output compaction is a
+# cumsum-offset scatter inside a lax.scan over block chunks. The resulting
+# surface is the same zero-level set, triangulated ~2x finer.
+
+import numpy as _np
+
+
+def _tet_tables():
+    """16-case marching-tetrahedra table: (case, tri<=2, corner_pair(3, 2)).
+
+    Corner ids are within the tetrahedron (0..3); -1 pads unused slots."""
+    edges = _np.full((16, 2, 3, 2), -1, _np.int32)
+    count = _np.zeros((16,), _np.int32)
+    for mask in range(16):
+        ins = [i for i in range(4) if mask >> i & 1]
+        outs = [i for i in range(4) if not (mask >> i & 1)]
+        tris = []
+        if len(ins) == 1:
+            i = ins[0]
+            tris.append([(i, outs[0]), (i, outs[1]), (i, outs[2])])
+        elif len(ins) == 3:
+            o = outs[0]
+            tris.append([(o, ins[0]), (o, ins[1]), (o, ins[2])])
+        elif len(ins) == 2:
+            i, j = ins
+            k, l = outs
+            tris.append([(i, k), (i, l), (j, l)])
+            tris.append([(i, k), (j, l), (j, k)])
+        for t, tri in enumerate(tris):
+            for e, pair in enumerate(tri):
+                edges[mask, t, e] = pair
+        count[mask] = len(tris)
+    return jnp.asarray(edges), jnp.asarray(count)
+
+
+_TET_EDGES, _TET_COUNT = _tet_tables()
+# 6-tet decomposition of the cube around the 0-7 diagonal; cube corner id
+# bit layout: bit0 = +x, bit1 = +y, bit2 = +z.
+_CUBE_TETS = jnp.asarray(
+    [[0, 1, 3, 7], [0, 3, 2, 7], [0, 2, 6, 7], [0, 6, 4, 7], [0, 4, 5, 7], [0, 5, 1, 7]],
+    jnp.int32,
+)
+_CORNER_OFFSETS = jnp.asarray(
+    [[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], jnp.int32
+)
+
+
+def extract_triangle_mesh(
+    vbg: VoxelBlockGrid,
+    triangle_capacity: int = 262144,
+    weight_threshold: float = 3.0,
+    block_chunk: int = 8,
+):
+    """Zero-level-set mesh as a fixed-capacity triangle soup.
+
+    Returns a geometry.trianglemesh.TriangleMesh whose triangle_mask marks
+    live triangles (ref API: VoxelBlockGrid::ExtractTriangleMesh,
+    VoxelBlockGrid.h:200-212 — estimated_vertex_number plays the same role
+    as triangle_capacity here)."""
+    from open3d_tpu.geometry.trianglemesh import TriangleMesh
+
+    B = vbg.block_resolution
+    B3 = B**3
+    C = vbg.capacity
+    occ = hm.occupied_mask(vbg.table)
+    coords = hm.unpack_coords(vbg.table)  # (C, 3)
+    local = _voxel_local_coords(B)  # (B3, 3)
+    has_color = vbg.color.shape[1] > 0
+
+    G = int(block_chunk)
+    n_chunks = -(-C // G)
+    pad = n_chunks * G - C
+    rows_all = jnp.arange(C, dtype=jnp.int32)
+    if pad:
+        rows_all = jnp.concatenate([rows_all, jnp.full((pad,), C, jnp.int32)])
+    rows_all = rows_all.reshape(n_chunks, G)
+
+    # 8 neighbor-block rows per block: offset bit k set -> +1 in axis k
+    nb_offsets = _CORNER_OFFSETS  # (8, 3) reuse: same bit layout
+    def chunk_triangles(rows):
+        """rows (G,) -> tri_verts (M, 3, 3), tri_col (M, 3, 3), valid (M,)"""
+        blk_occ = jnp.where(rows < C, occ[jnp.minimum(rows, C - 1)], False)
+        bco = coords[jnp.minimum(rows, C - 1)]  # (G, 3)
+        nb_keys = hm.pack_coords(bco[:, None, :] + nb_offsets[None, :, :])  # (G, 8)
+        nb_slot, nb_found = hm.find(vbg.table, nb_keys.reshape(-1))
+        nb_rows = jnp.where(nb_found, nb_slot, C).reshape(G, 8)
+        nb_rows = nb_rows.at[:, 0].set(jnp.where(blk_occ, rows, C))
+
+        # cube corner samples for every voxel: (G, B3, 8)
+        nxt = local[:, None, :] + _CORNER_OFFSETS[None, :, :]  # (B3, 8, 3)
+        overflow = (nxt >= B).astype(jnp.int32)
+        wrapped = nxt - overflow * B
+        flat = wrapped[..., 0] + wrapped[..., 1] * B + wrapped[..., 2] * B * B  # (B3, 8)
+        which = overflow[..., 0] + 2 * overflow[..., 1] + 4 * overflow[..., 2]  # (B3, 8)
+        row_idx = nb_rows[:, which]  # (G, B3, 8)
+        tsdf_c = vbg.tsdf[row_idx, flat[None]]  # (G, B3, 8)
+        w_c = vbg.weight[row_idx, flat[None]]
+        if has_color:
+            col_c = vbg.color[row_idx, flat[None]]  # (G, B3, 8, 3)
+
+        corner_pos = (
+            (bco[:, None, None, :] * B + nxt[None]).astype(jnp.float32) * vbg.voxel_size
+        )  # (G, B3, 8, 3)
+
+        cube_ok = blk_occ[:, None] & jnp.all(w_c >= weight_threshold, axis=-1)
+
+        # tets: gather 4 corners each -> (G, B3, 6, 4)
+        tv = tsdf_c[:, :, _CUBE_TETS]  # values
+        tp = corner_pos[:, :, _CUBE_TETS]  # (G, B3, 6, 4, 3)
+        inside = (tv < 0).astype(jnp.int32)
+        case = inside[..., 0] + 2 * inside[..., 1] + 4 * inside[..., 2] + 8 * inside[..., 3]
+
+        pairs = _TET_EDGES[case]  # (G, B3, 6, 2, 3, 2)
+        n_tri = _TET_COUNT[case]  # (G, B3, 6)
+        ca = jnp.maximum(pairs[..., 0], 0)
+        cb = jnp.maximum(pairs[..., 1], 0)
+        va = jnp.take_along_axis(tv[..., None, None, :], ca[..., None], axis=-1)[..., 0]
+        vb = jnp.take_along_axis(tv[..., None, None, :], cb[..., None], axis=-1)[..., 0]
+        frac = va / jnp.where(jnp.abs(va - vb) > 1e-12, va - vb, 1.0)
+        frac = jnp.clip(frac, 0.0, 1.0)[..., None]  # (G, B3, 6, 2, 3, 1)
+        pa = jnp.take_along_axis(
+            tp[:, :, :, None, None, :, :], ca[..., None, None], axis=-2
+        )[..., 0, :]
+        pb = jnp.take_along_axis(
+            tp[:, :, :, None, None, :, :], cb[..., None, None], axis=-2
+        )[..., 0, :]
+        verts = pa + frac * (pb - pa)  # (G, B3, 6, 2, 3, 3)
+        valid = (
+            cube_ok[:, :, None, None]
+            & (jnp.arange(2)[None, None, None, :] < n_tri[..., None])
+        )  # (G, B3, 6, 2)
+        if has_color:
+            cv = col_c[:, :, _CUBE_TETS]  # (G, B3, 6, 4, 3)
+            cca = jnp.take_along_axis(
+                cv[:, :, :, None, None, :, :], ca[..., None, None], axis=-2
+            )[..., 0, :]
+            ccb = jnp.take_along_axis(
+                cv[:, :, :, None, None, :, :], cb[..., None, None], axis=-2
+            )[..., 0, :]
+            cols = cca + frac * (ccb - cca)
+        else:
+            cols = jnp.zeros_like(verts)
+        M = G * B3 * 6 * 2
+        return verts.reshape(M, 3, 3), cols.reshape(M, 3, 3), valid.reshape(M)
+
+    Tcap = int(triangle_capacity)
+    out_v = jnp.zeros((Tcap + 1, 3, 3), jnp.float32)
+    out_c = jnp.zeros((Tcap + 1, 3, 3), jnp.float32)
+
+    def scan_body(carry, rows):
+        out_v, out_c, offset = carry
+        verts, cols, valid = chunk_triangles(rows)
+        pos = offset + jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
+        dst = jnp.where(valid & (pos < Tcap), pos, Tcap)
+        out_v = out_v.at[dst].set(verts)
+        out_c = out_c.at[dst].set(cols)
+        return (out_v, out_c, offset + jnp.sum(valid.astype(jnp.int32))), None
+
+    (out_v, out_c, total), _ = jax.lax.scan(scan_body, (out_v, out_c, jnp.int32(0)), rows_all)
+    tri_mask = jnp.arange(Tcap) < jnp.minimum(total, Tcap)
+    mesh = TriangleMesh.from_triangle_soup(
+        out_v[:Tcap], tri_mask, colors=out_c[:Tcap] if has_color else None
+    )
+    return mesh
