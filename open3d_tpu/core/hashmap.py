@@ -129,6 +129,10 @@ def unique_packed(packed: jnp.ndarray, capacity: int):
     """Deduplicate packed keys (EMPTY = invalid) into a fixed-capacity array.
     Returns (unique (capacity,) int32 with EMPTY padding, count int32).
     Sort-based — the TPU-friendly replacement for hash-set dedup."""
+    if packed.shape[0] < capacity:  # pad so the output slice is full-size
+        packed = jnp.concatenate(
+            [packed, jnp.full((capacity - packed.shape[0],), EMPTY, packed.dtype)]
+        )
     s = jnp.sort(packed)
     # EMPTY (INT32_MIN) sorts first; drop it and duplicates
     first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]]) & (s != EMPTY)

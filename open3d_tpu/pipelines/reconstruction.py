@@ -1,0 +1,447 @@
+"""Offline reconstruction system: fragments -> register -> refine -> integrate.
+
+Reference surface: examples/python/reconstruction_system/run_system.py (the
+4-stage DAG, :107-137) with
+- make_fragments.py (:60-186): per-fragment RGBD odometry pose graph
+  (consecutive + keyframe loop closures every n_keyframes), optimize,
+  TSDF-integrate -> fragment point cloud
+- register_fragments.py (:27-122): downsample+FPFH per fragment; adjacent
+  pairs -> MultiScaleICP, non-adjacent -> RANSAC/FGR; information matrices;
+  overlap gate info[5,5]/min(n) >= 0.3 (:66-68); scene pose graph
+  (odometry edges certain, loop edges uncertain) -> global optimization
+- refine_registration.py: per-edge multiscale ICP refine, rebuild + re-optimize
+- integrate_scene.py (:21-51): TSDF over all frames with optimized poses
+
+plus the YAML config of t_reconstruction_system/config.py:14-40
+(default_config.yml knob names preserved).
+
+Every stage writes restartable artifacts (fragment PLYs + pose-graph JSONs,
+scene pose graph, final mesh) exactly like the reference — the failure
+recovery model is rerun-from-artifacts (SURVEY.md section 5.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open3d_tpu.core import lie
+from open3d_tpu.geometry import voxel_block_grid as vbg_mod
+from open3d_tpu.geometry.camera import PinholeCameraIntrinsic
+from open3d_tpu.geometry.pointcloud import PointCloud
+from open3d_tpu.geometry.rgbd import RGBDImage, pointcloud_from_depth
+from open3d_tpu.ops import pointcloud as pc_ops
+from open3d_tpu.pipelines import (
+    features,
+    global_registration as gr,
+    odometry as odo,
+    pose_graph as pg,
+    registration as reg,
+)
+
+
+@dataclasses.dataclass
+class ReconstructionConfig:
+    """Knob names follow t_reconstruction_system/default_config.yml."""
+
+    name: str = "reconstruction"
+    fragment_size: int = 40
+    n_keyframes_per_n_frame: int = 5
+    depth_scale: float = 1000.0
+    depth_max: float = 3.0
+    voxel_size: float = 0.0058
+    block_count: int = 40000
+    block_resolution: int = 16
+    trunc_voxel_multiplier: float = 8.0
+    odometry_method: str = "hybrid"  # point_to_plane | intensity | hybrid
+    icp_method: str = "point_to_plane"  # point_to_point | point_to_plane | colored
+    global_registration: str = "ransac"  # ransac | fgr
+    preference_loop_closure_odometry: float = 0.1
+    preference_loop_closure_registration: float = 5.0
+    downsample_voxel_size: float = 0.02
+    fragment_point_capacity: int = 131072
+    registration_point_capacity: int = 16384
+    path_dataset: str = ""
+    path_output: str = "output"
+
+    @staticmethod
+    def from_yaml(path: str) -> "ReconstructionConfig":
+        import yaml
+
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+        known = {f.name for f in dataclasses.fields(ReconstructionConfig)}
+        return ReconstructionConfig(**{k: v for k, v in d.items() if k in known})
+
+    def to_yaml(self, path: str) -> None:
+        import yaml
+
+        with open(path, "w") as f:
+            yaml.safe_dump(dataclasses.asdict(self), f)
+
+
+def _fragment_dir(cfg):
+    d = os.path.join(cfg.path_output, "fragments")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _scene_dir(cfg):
+    d = os.path.join(cfg.path_output, "scene")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: make fragments
+# ---------------------------------------------------------------------------
+
+
+def _fragment_ranges(n_frames: int, fragment_size: int):
+    return [
+        (s, min(s + fragment_size, n_frames)) for s in range(0, n_frames, fragment_size)
+    ]
+
+
+def make_fragments(sequence, cfg: ReconstructionConfig) -> List[str]:
+    """Stage 1 (ref: make_fragments.py:149-186; the reference fans out a
+    multiprocessing.Pool over fragments — here fragments run sequentially on
+    one chip and shard over hosts via parallel/fragments in the distributed
+    path). Returns fragment PLY paths."""
+    intr = sequence.intrinsic
+    frag_dir = _fragment_dir(cfg)
+    ranges = _fragment_ranges(len(sequence), cfg.fragment_size)
+    paths = []
+    for fid, (s, e) in enumerate(ranges):
+        ply_path = os.path.join(frag_dir, f"fragment_{fid:03d}.ply")
+        paths.append(ply_path)
+        if os.path.isfile(ply_path):  # restartable
+            continue
+        _process_single_fragment(sequence, cfg, fid, s, e, frag_dir, ply_path)
+    return paths
+
+
+def _odometry_pair(src_rgbd, tgt_rgbd, intr, cfg, init=None):
+    res = odo.rgbd_odometry_multi_scale(
+        src_rgbd, tgt_rgbd, intr, init=init, method=cfg.odometry_method
+    )
+    info = odo.compute_odometry_information_matrix(
+        src_rgbd.depth, tgt_rgbd.depth, intr, res.transformation
+    )
+    return res, info
+
+
+def _process_single_fragment(sequence, cfg, fid, s, e, frag_dir, ply_path):
+    intr = sequence.intrinsic
+    n = e - s
+    rgbds = []
+    for i in range(s, e):
+        depth, color = sequence.read_frame(i)
+        depth = jnp.where(
+            (jnp.asarray(depth) > 0) & (jnp.asarray(depth) < cfg.depth_max),
+            jnp.asarray(depth),
+            0.0,
+        )
+        rgbds.append(RGBDImage(color=jnp.asarray(color), depth=depth))
+
+    # pose graph over frames: odometry chain + keyframe loop closures
+    # (ref: make_posegraph_for_fragment, make_fragments.py:60-103)
+    edges, trans, infos, unc = [], [], [], []
+    odom = [np.eye(4, dtype=np.float32)]
+    kf = cfg.n_keyframes_per_n_frame
+    for i in range(n - 1):
+        res, info = _odometry_pair(rgbds[i], rgbds[i + 1], intr, cfg)
+        T = np.asarray(res.transformation)
+        edges.append((i, i + 1))
+        # odometry convention: tgt_pt = T @ src_pt -> pose_{i+1} = pose_i @ inv(T)
+        trans.append(np.linalg.inv(T))
+        infos.append(np.asarray(info))
+        unc.append(False)
+        odom.append(odom[-1] @ np.linalg.inv(T))
+        if kf > 0 and i % kf == 0:
+            for j in range(i + 2, min(i + kf + 1, n)):
+                res2, info2 = _odometry_pair(rgbds[i], rgbds[j], intr, cfg)
+                if float(res2.fitness) > 0.3:
+                    edges.append((i, j))
+                    trans.append(np.linalg.inv(np.asarray(res2.transformation)))
+                    infos.append(np.asarray(info2))
+                    unc.append(True)
+
+    graph = pg.PoseGraph.create(
+        np.stack(odom), np.asarray(edges, np.int32), np.stack(trans),
+        informations=np.stack(infos), uncertain=np.asarray(unc),
+    )
+    graph = pg.global_optimization(
+        graph,
+        pg.GlobalOptimizationOption(
+            max_correspondence_distance=cfg.voxel_size * 1.4,
+            preference_loop_closure=cfg.preference_loop_closure_odometry,
+        ),
+    )
+    pg.write_pose_graph(os.path.join(frag_dir, f"fragment_{fid:03d}.json"), graph)
+
+    # integrate the fragment (ref: integrate_rgb_frames_for_fragment :108)
+    vbg = vbg_mod.create(
+        voxel_size=cfg.voxel_size * 2,  # fragment-level resolution
+        block_resolution=8,
+        block_count=min(cfg.block_count, 8192),
+        sdf_trunc=cfg.trunc_voxel_multiplier * cfg.voxel_size,
+        with_color=True,
+    )
+    poses = np.asarray(graph.poses)
+    for i in range(n):
+        extr = jnp.asarray(np.linalg.inv(poses[i]), jnp.float32)  # world->cam
+        keys, _ = vbg_mod.compute_unique_block_coordinates(
+            vbg, rgbds[i].depth, intr, extr, depth_max=cfg.depth_max,
+            frame_block_capacity=4096,
+        )
+        vbg = vbg_mod.integrate(
+            vbg, keys, rgbds[i].depth, rgbds[i].color, intr, extr, depth_max=cfg.depth_max
+        )
+    pcd = vbg_mod.extract_point_cloud(
+        vbg, point_capacity=cfg.fragment_point_capacity, weight_threshold=2.0
+    )
+    from open3d_tpu.io import write_point_cloud
+
+    write_point_cloud(ply_path, pcd)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: register fragments
+# ---------------------------------------------------------------------------
+
+
+def _preprocess_fragment(pcd: PointCloud, cfg):
+    """(ref: register_fragments.py:27-38 preprocess_point_cloud)"""
+    down = pc_ops.voxel_down_sample(pcd, cfg.downsample_voxel_size)
+    down = pc_ops.estimate_normals(down, max_nn=30, radius=cfg.downsample_voxel_size * 2)
+    fpfh = features.compute_fpfh_feature(
+        down, radius=cfg.downsample_voxel_size * 5, max_nn=100
+    )
+    return down, fpfh
+
+
+def _pair_registration(src, tgt, fs, ft, cfg, adjacent: bool, key):
+    """(ref: register_point_cloud_pair, register_fragments.py:40-99)"""
+    dvs = cfg.downsample_voxel_size
+    if adjacent:
+        init = jnp.eye(4, dtype=jnp.float32)
+    else:
+        if cfg.global_registration == "fgr":
+            res = gr.registration_fgr_based_on_feature_matching(
+                src, tgt, fs, ft, option=gr.FGROption(maximum_correspondence_distance=dvs * 1.4),
+                key=key,
+            )
+        else:
+            res = gr.registration_ransac_based_on_feature_matching(
+                src, tgt, fs, ft, max_correspondence_distance=dvs * 1.4,
+                criteria=gr.RANSACConvergenceCriteria(max_iteration=100000), key=key,
+            )
+        init = res.transformation
+    est = (
+        reg.TransformationEstimationPointToPlane()
+        if cfg.icp_method in ("point_to_plane", "colored")
+        else reg.TransformationEstimationPointToPoint()
+    )
+    icp_res = reg.icp(src, tgt, dvs * 1.4, init=init, estimation=est)
+    info = reg.get_information_matrix(src, tgt, dvs * 1.4, icp_res.transformation)
+    return icp_res, info
+
+
+def register_fragments(fragment_paths: List[str], cfg: ReconstructionConfig):
+    """Stage 2: all-pairs fragment registration -> scene pose graph
+    (ref: register_fragments.py:100-122 make_posegraph_for_scene). Returns
+    the optimized scene PoseGraph (also written to scene/refined.json)."""
+    from open3d_tpu.io import read_point_cloud
+
+    n = len(fragment_paths)
+    clouds, fpfhs = [], []
+    for p in fragment_paths:
+        pcd = read_point_cloud(p, capacity=cfg.registration_point_capacity)
+        down, fpfh = _preprocess_fragment(pcd, cfg)
+        clouds.append(down)
+        fpfhs.append(fpfh)
+
+    key = jax.random.PRNGKey(3)
+    edges, trans, infos, unc = [], [], [], []
+    odom = [np.eye(4, dtype=np.float32)]
+    for s in range(n):
+        for t in range(s + 1, n):
+            key, sub = jax.random.split(key)
+            adjacent = t == s + 1
+            res, info = _pair_registration(
+                clouds[s], clouds[t], fpfhs[s], fpfhs[t], cfg, adjacent, sub
+            )
+            T = np.asarray(res.transformation)
+            info_np = np.asarray(info)
+            n_min = min(int(clouds[s].count()), int(clouds[t].count()))
+            ok = info_np[5, 5] / max(n_min, 1) >= 0.3  # overlap gate (:66-68)
+            if adjacent:
+                # odometry edge always kept (identity fallback like :63-68)
+                if not ok:
+                    T = np.eye(4, dtype=np.float32)
+                    info_np = np.eye(6, dtype=np.float32)
+                edges.append((s, t))
+                trans.append(np.linalg.inv(T))
+                infos.append(info_np)
+                unc.append(False)
+                odom.append(odom[-1] @ np.linalg.inv(T))
+            elif ok and float(res.fitness) > 0.3:
+                edges.append((s, t))
+                trans.append(np.linalg.inv(T))
+                infos.append(info_np)
+                unc.append(True)
+
+    graph = pg.PoseGraph.create(
+        np.stack(odom), np.asarray(edges, np.int32), np.stack(trans),
+        informations=np.stack(infos), uncertain=np.asarray(unc),
+    )
+    graph = pg.global_optimization_two_pass(
+        graph,
+        pg.GlobalOptimizationOption(
+            max_correspondence_distance=cfg.downsample_voxel_size * 1.4,
+            preference_loop_closure=cfg.preference_loop_closure_registration,
+        ),
+    )
+    pg.write_pose_graph(os.path.join(_scene_dir(cfg), "global_registration.json"), graph)
+    return graph
+
+
+def refine_registration(fragment_paths, graph: pg.PoseGraph, cfg: ReconstructionConfig):
+    """Stage 3: ICP-refine every surviving edge, rebuild + re-optimize
+    (ref: refine_registration.py)."""
+    from open3d_tpu.io import read_point_cloud
+
+    clouds = []
+    for p in fragment_paths:
+        pcd = read_point_cloud(p, capacity=cfg.registration_point_capacity)
+        down = pc_ops.voxel_down_sample(pcd, cfg.downsample_voxel_size)
+        clouds.append(pc_ops.estimate_normals(down, max_nn=30))
+
+    e_np = np.asarray(graph.edges)
+    valid = np.asarray(graph.edge_valid)
+    unc = np.asarray(graph.uncertain)
+    trans_np = np.asarray(graph.transformations)
+    new_trans, new_infos = [], []
+    dvs = cfg.downsample_voxel_size
+    for i in range(e_np.shape[0]):
+        if not valid[i]:
+            new_trans.append(trans_np[i])
+            new_infos.append(np.asarray(graph.informations[i]))
+            continue
+        s, t = int(e_np[i, 0]), int(e_np[i, 1])
+        # edge stores X with pose_t = pose_s @ X; ICP works on src->tgt points
+        init = jnp.asarray(np.linalg.inv(trans_np[i]))
+        res = reg.multi_scale_icp(
+            clouds[s], clouds[t],
+            voxel_sizes=[dvs * 2, dvs],
+            criteria_list=[reg.ICPConvergenceCriteria(max_iteration=20)] * 2,
+            max_correspondence_distances=[dvs * 4, dvs * 1.4],
+            init=init,
+            estimation=reg.TransformationEstimationPointToPlane(),
+        )
+        info = reg.get_information_matrix(clouds[s], clouds[t], dvs * 1.4, res.transformation)
+        new_trans.append(np.linalg.inv(np.asarray(res.transformation)))
+        new_infos.append(np.asarray(info))
+
+    graph2 = dataclasses.replace(
+        graph,
+        transformations=jnp.asarray(np.stack(new_trans)),
+        informations=jnp.asarray(np.stack(new_infos)),
+    )
+    graph2 = pg.global_optimization_two_pass(
+        graph2,
+        pg.GlobalOptimizationOption(
+            max_correspondence_distance=dvs * 1.4,
+            preference_loop_closure=cfg.preference_loop_closure_registration,
+        ),
+    )
+    pg.write_pose_graph(os.path.join(_scene_dir(cfg), "refined_registration.json"), graph2)
+    return graph2
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: integrate scene
+# ---------------------------------------------------------------------------
+
+
+def integrate_scene(sequence, scene_graph: pg.PoseGraph, cfg: ReconstructionConfig):
+    """Stage 4: TSDF over all frames with fragment-corrected poses
+    (ref: integrate_scene.py:21-51). Frame pose = scene_pose[frag] @
+    fragment_pose[frame]."""
+    intr = sequence.intrinsic
+    frag_dir = _fragment_dir(cfg)
+    ranges = _fragment_ranges(len(sequence), cfg.fragment_size)
+    scene_poses = np.asarray(scene_graph.poses)
+
+    vbg = vbg_mod.create(
+        voxel_size=cfg.voxel_size,
+        block_resolution=cfg.block_resolution,
+        block_count=cfg.block_count,
+        sdf_trunc=cfg.trunc_voxel_multiplier * cfg.voxel_size,
+        with_color=True,
+    )
+    trajectory = []
+    for fid, (s, e) in enumerate(ranges):
+        fg = pg.read_pose_graph(os.path.join(frag_dir, f"fragment_{fid:03d}.json"))
+        fposes = np.asarray(fg.poses)
+        for k, i in enumerate(range(s, e)):
+            pose = scene_poses[fid] @ fposes[k]
+            trajectory.append(pose)
+            depth, color = sequence.read_frame(i)
+            depth = jnp.asarray(depth)
+            depth = jnp.where((depth > 0) & (depth < cfg.depth_max), depth, 0.0)
+            extr = jnp.asarray(np.linalg.inv(pose), jnp.float32)
+            keys, _ = vbg_mod.compute_unique_block_coordinates(
+                vbg, depth, intr, extr, depth_max=cfg.depth_max, frame_block_capacity=8192
+            )
+            vbg = vbg_mod.integrate(
+                vbg, keys, depth, jnp.asarray(color), intr, extr, depth_max=cfg.depth_max
+            )
+    from open3d_tpu.io import write_trajectory_log
+
+    write_trajectory_log(os.path.join(cfg.path_output, "trajectory.log"), np.stack(trajectory))
+    return vbg, np.stack(trajectory)
+
+
+def run_system(sequence, cfg: ReconstructionConfig):
+    """The full DAG (ref: run_system.py:107-137). Returns
+    (vbg, trajectory (N,4,4), scene_graph)."""
+    os.makedirs(cfg.path_output, exist_ok=True)
+    frags = make_fragments(sequence, cfg)
+    graph = register_fragments(frags, cfg)
+    graph = refine_registration(frags, graph, cfg)
+    vbg, traj = integrate_scene(sequence, graph, cfg)
+    return vbg, traj, graph
+
+
+# ---------------------------------------------------------------------------
+# Evaluation: ATE (Horn alignment + RMSE) — the reference keeps this in
+# example scripts; here it is a library primitive.
+# ---------------------------------------------------------------------------
+
+
+def align_trajectories_horn(est: np.ndarray, gt: np.ndarray):
+    """Closed-form similarity alignment (Horn) of trajectory translations;
+    returns (aligned_est_positions, R, t)."""
+    p = np.asarray(est)[:, :3, 3]
+    q = np.asarray(gt)[:, :3, 3]
+    mp, mq = p.mean(0), q.mean(0)
+    Pc, Qc = p - mp, q - mq
+    U, S, Vt = np.linalg.svd(Pc.T @ Qc)
+    D = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+    R = (U @ D @ Vt).T
+    t = mq - R @ mp
+    return (R @ p.T).T + t, R, t
+
+
+def absolute_trajectory_error(est: np.ndarray, gt: np.ndarray) -> float:
+    """ATE RMSE after Horn alignment (TUM benchmark metric)."""
+    aligned, _, _ = align_trajectories_horn(est, gt)
+    q = np.asarray(gt)[:, :3, 3]
+    return float(np.sqrt(((aligned - q) ** 2).sum(1).mean()))

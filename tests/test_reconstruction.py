@@ -1,0 +1,82 @@
+"""End-to-end reconstruction system test on a synthetic RGB-D sequence.
+
+This is the hermetic version of the reference's run_system.py flow
+(SURVEY.md section 3.3): make_fragments -> register -> refine -> integrate,
+with ATE checked against the synthetic ground-truth trajectory."""
+
+import numpy as np
+import pytest
+
+from open3d_tpu.data import dataset as ds
+from open3d_tpu.pipelines import reconstruction as rc
+
+
+@pytest.fixture(scope="module")
+def sequence(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("synthetic_seq"))
+    return ds.synthetic_rgbd_sequence(n_frames=8, width=160, height=120, span=0.5, out_dir=out)
+
+
+class TestDatasets:
+    def test_synthetic_sequence_layout(self, sequence):
+        assert len(sequence) == 8
+        depth, color = sequence.read_frame(0)
+        assert depth.shape == (120, 160)
+        assert color.shape == (120, 160, 3)
+        assert 0.1 < float(depth[depth > 0].mean()) < 10.0
+        assert sequence.gt_trajectory.shape == (8, 4, 4)
+
+    def test_demo_icp_point_clouds(self):
+        src, tgt, T = ds.demo_icp_point_clouds(n_points=2000)
+        assert int(src.count()) > 500
+        assert src.normals is not None
+
+
+class TestReconstructionSystem:
+    def test_run_system_ate(self, sequence, tmp_path):
+        cfg = rc.ReconstructionConfig(
+            fragment_size=4,
+            n_keyframes_per_n_frame=3,
+            depth_max=4.0,
+            voxel_size=0.02,
+            block_count=8192,
+            block_resolution=8,
+            trunc_voxel_multiplier=4.0,
+            downsample_voxel_size=0.05,
+            registration_point_capacity=8192,
+            fragment_point_capacity=65536,
+            path_output=str(tmp_path / "out"),
+        )
+        vbg, traj, graph = rc.run_system(sequence, cfg)
+        assert traj.shape == (8, 4, 4)
+        ate = rc.absolute_trajectory_error(traj, sequence.gt_trajectory)
+        assert ate < 0.05, f"ATE {ate}"
+        # scene artifacts written + restartable
+        import os
+
+        assert os.path.isfile(os.path.join(cfg.path_output, "trajectory.log"))
+        assert os.path.isfile(os.path.join(cfg.path_output, "scene", "refined_registration.json"))
+        assert int(vbg.num_active_blocks()) > 50
+
+    def test_config_yaml_roundtrip(self, tmp_path):
+        cfg = rc.ReconstructionConfig(voxel_size=0.01, fragment_size=7)
+        p = str(tmp_path / "c.yml")
+        cfg.to_yaml(p)
+        back = rc.ReconstructionConfig.from_yaml(p)
+        assert back.voxel_size == 0.01
+        assert back.fragment_size == 7
+
+
+class TestATE:
+    def test_horn_alignment_exact(self):
+        rng = np.random.RandomState(0)
+        gt = np.tile(np.eye(4, dtype=np.float64), (10, 1, 1))
+        gt[:, :3, 3] = rng.uniform(-1, 1, (10, 3))
+        # apply a rigid motion to the whole trajectory
+        th = 0.7
+        R = np.array(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+        )
+        est = gt.copy()
+        est[:, :3, 3] = (R @ gt[:, :3, 3].T).T + np.array([3.0, -2.0, 1.0])
+        assert rc.absolute_trajectory_error(est, gt) < 1e-9
