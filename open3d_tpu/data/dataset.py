@@ -116,6 +116,28 @@ class RGBDSequence:
         color = read_image(self.color_paths[i]).astype(np.float32) / 255.0
         return depth, color
 
+    def iter_frames(self, n_threads: int = 4, depth_ahead: int = 8):
+        """Prefetched frame stream: the native threaded read-ahead loader
+        overlaps disk IO + PNG decode with device compute (the TPU-native
+        equivalent of the reference's multiprocessing frame pools,
+        make_fragments.py:180-186)."""
+        import io as _io
+
+        from PIL import Image
+
+        from open3d_tpu.native import FilePrefetcher
+
+        order = [p for pair in zip(self.depth_paths, self.color_paths) for p in pair]
+        with FilePrefetcher(order, n_threads=n_threads, depth=depth_ahead) as pf:
+            for i in range(len(self)):
+                db = pf.get(2 * i)
+                cb = pf.get(2 * i + 1)
+                dimg = Image.open(_io.BytesIO(db))
+                d = np.asarray(dimg, dtype=np.uint16 if dimg.mode in ("I", "I;16", "I;16B") else np.uint8)
+                depth = d.astype(np.float32) / self.depth_scale
+                color = np.asarray(Image.open(_io.BytesIO(cb)).convert("RGB"), np.uint8).astype(np.float32) / 255.0
+                yield depth, color
+
 
 def load_tum_sequence(root: str, max_depth_diff: float = 0.02) -> RGBDSequence:
     """TUM RGB-D layout: rgb.txt / depth.txt / groundtruth.txt with

@@ -91,7 +91,9 @@ def read_pcd(path: str) -> dict:
             import struct
 
             comp_size, uncomp_size = struct.unpack("<II", f.read(8))
-            raw = lzf_decompress(f.read(comp_size), uncomp_size)
+            from open3d_tpu import native
+
+            raw = native.lzf_decompress(f.read(comp_size), uncomp_size)
             # binary_compressed stores data column-major (field-by-field)
             out, off = {}, 0
             for fname, sz, ty, ct in zip(fields, sizes, types, counts):

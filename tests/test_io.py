@@ -171,3 +171,44 @@ class TestVBGCheckpoint:
         assert back.voxel_size == vbg.voxel_size
         np.testing.assert_array_equal(np.asarray(back.table), np.asarray(vbg.table))
         np.testing.assert_allclose(np.asarray(back.tsdf), np.asarray(vbg.tsdf))
+
+
+class TestNative:
+    def test_lzf_cross_implementation(self):
+        from open3d_tpu import native
+
+        rng = np.random.RandomState(0)
+        for data in [rng.bytes(5000), b"abc" * 4000, b"", b"\x00" * 100000]:
+            c = native.lzf_compress(data)
+            assert native.lzf_decompress(c, len(data)) == data
+            assert pcd_io.lzf_decompress(c, len(data)) == data
+            c2 = pcd_io.lzf_compress(data)
+            assert native.lzf_decompress(c2, len(data)) == data
+
+    def test_prefetcher(self, tmp_path):
+        from open3d_tpu.native import FilePrefetcher
+
+        rng = np.random.RandomState(1)
+        paths, blobs = [], []
+        for i in range(12):
+            p = str(tmp_path / f"f{i}.bin")
+            b = rng.bytes(500 + 37 * i)
+            with open(p, "wb") as f:
+                f.write(b)
+            paths.append(p)
+            blobs.append(b)
+        with FilePrefetcher(paths, n_threads=3, depth=4) as pf:
+            for i in range(12):
+                assert pf.get(i) == blobs[i]
+
+    def test_sequence_iter_frames(self, tmp_path):
+        from open3d_tpu.data import dataset as ds
+
+        seq = ds.synthetic_rgbd_sequence(
+            n_frames=3, width=64, height=48, out_dir=str(tmp_path / "seq")
+        )
+        frames = list(seq.iter_frames())
+        assert len(frames) == 3
+        d0, c0 = seq.read_frame(0)
+        np.testing.assert_allclose(frames[0][0], d0, atol=1e-6)
+        np.testing.assert_allclose(frames[0][1], c0, atol=1e-6)
