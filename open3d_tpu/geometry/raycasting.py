@@ -1,0 +1,325 @@
+"""RaycastingScene: ray/distance queries against triangle meshes, TPU-native.
+
+Reference: t/geometry/RaycastingScene.h:43-244 — CastRays, ComputeClosestPoints,
+ComputeDistance/SignedDistance/Occupancy, CountIntersections,
+CreateRaysPinhole. The reference wraps Embree's BVH; a pointer-chasing BVH is
+the worst possible TPU program (divergent control flow, random loads), so this
+build replaces it with tiled brute force: every (ray, triangle-tile) pair is
+evaluated on the VPU in a lax.scan over triangle tiles with a running min —
+fully static shapes, no traversal, bandwidth-bound at ~O(R*T) flops which for
+meshes up to ~1e5 triangles beats host BVH dispatch round-trips.
+
+Sign of the signed distance is decided by ray-parity occupancy (odd number of
+crossings along +x => inside), the same watertight-mesh semantics as the
+reference (RaycastingScene::ComputeOccupancy docs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(3.0e38)
+_EPS = 1e-9
+
+
+def _pad_tris(v0, n_pad):
+    pad = n_pad - v0.shape[0]
+    if pad <= 0:
+        return v0
+    far = jnp.full((pad,) + v0.shape[1:], 1e30, v0.dtype)
+    return jnp.concatenate([v0, far], axis=0)
+
+
+def _moller_trumbore(origin, direction, v0, e1, e2):
+    """Ray-triangle intersection for one ray against a tile of triangles.
+    origin,direction: (3,); v0,e1,e2: (Tc,3). Returns (t, u, v, hit) each (Tc,).
+    """
+    pvec = jnp.cross(direction[None, :], e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
+    tvec = origin[None, :] - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(direction[None, :] * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (
+        (jnp.abs(det) > _EPS)
+        & (u >= -_EPS)
+        & (v >= -_EPS)
+        & (u + v <= 1.0 + _EPS)
+        & (t > _EPS)
+    )
+    return t, u, v, hit
+
+
+def _closest_point_on_triangle(p, a, b, c):
+    """Ericson RTCD 5.1.5 closest point on triangle, vectorized over tiles.
+    p: (3,), a,b,c: (Tc,3) -> (Tc,3) closest points."""
+    ab = b - a
+    ac = c - a
+    ap = p[None, :] - a
+    d1 = jnp.sum(ab * ap, -1)
+    d2 = jnp.sum(ac * ap, -1)
+    bp = p[None, :] - b
+    d3 = jnp.sum(ab * bp, -1)
+    d4 = jnp.sum(ac * bp, -1)
+    cp = p[None, :] - c
+    d5 = jnp.sum(ab * cp, -1)
+    d6 = jnp.sum(ac * cp, -1)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    # face region barycentric
+    denom = jnp.maximum(va + vb + vc, _EPS)
+    v_f = vb / denom
+    w_f = vc / denom
+    res = a + ab * v_f[:, None] + ac * w_f[:, None]
+
+    # edge/vertex regions override in priority order (later writes win only
+    # where their predicate holds; predicates are mutually exclusive regions)
+    # region AB edge
+    t_ab = jnp.clip(d1 / jnp.where(jnp.abs(d1 - d3) > _EPS, d1 - d3, 1.0), 0.0, 1.0)
+    on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    res = jnp.where(on_ab[:, None], a + t_ab[:, None] * ab, res)
+    # region AC edge
+    t_ac = jnp.clip(d2 / jnp.where(jnp.abs(d2 - d6) > _EPS, d2 - d6, 1.0), 0.0, 1.0)
+    on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    res = jnp.where(on_ac[:, None], a + t_ac[:, None] * ac, res)
+    # region BC edge
+    t_bc = jnp.clip(
+        (d4 - d3) / jnp.where(jnp.abs((d4 - d3) + (d5 - d6)) > _EPS, (d4 - d3) + (d5 - d6), 1.0),
+        0.0,
+        1.0,
+    )
+    on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+    res = jnp.where(on_bc[:, None], b + t_bc[:, None] * (c - b), res)
+    # vertex regions
+    res = jnp.where(((d1 <= 0) & (d2 <= 0))[:, None], a, res)
+    res = jnp.where(((d3 >= 0) & (d4 <= d3))[:, None], b, res)
+    res = jnp.where(((d6 >= 0) & (d5 <= d6))[:, None], c, res)
+    return res
+
+
+class RaycastingScene:
+    """Mirror of t/geometry/RaycastingScene.h:43 for TPU.
+
+    add_triangles() accepts (V,3) float vertices + (T,3) int triangles and
+    returns a geometry id. All queries are jittable pure functions of the
+    packed triangle soup.
+    """
+
+    def __init__(self, tile: int = 2048):
+        self._v0 = []
+        self._v1 = []
+        self._v2 = []
+        self._geom_of_tri = []
+        self._tile = tile
+        self._packed = None
+
+    def add_triangles(self, vertices, triangles) -> int:
+        vertices = jnp.asarray(vertices, jnp.float32)
+        triangles = jnp.asarray(triangles, jnp.int32)
+        gid = len(self._geom_of_tri)
+        self._v0.append(vertices[triangles[:, 0]])
+        self._v1.append(vertices[triangles[:, 1]])
+        self._v2.append(vertices[triangles[:, 2]])
+        self._geom_of_tri.append(
+            jnp.full((triangles.shape[0],), gid, jnp.int32)
+        )
+        self._packed = None
+        return gid
+
+    def _pack(self):
+        if self._packed is None:
+            v0 = jnp.concatenate(self._v0, 0)
+            v1 = jnp.concatenate(self._v1, 0)
+            v2 = jnp.concatenate(self._v2, 0)
+            gid = jnp.concatenate(self._geom_of_tri, 0)
+            T = v0.shape[0]
+            tc = min(self._tile, max(T, 8))
+            n_pad = -(-T // tc) * tc
+            self._packed = (
+                _pad_tris(v0, n_pad),
+                _pad_tris(v1, n_pad),
+                _pad_tris(v2, n_pad),
+                jnp.pad(gid, (0, n_pad - T), constant_values=-1),
+                T,
+                tc,
+            )
+        return self._packed
+
+    # ---- ray queries -----------------------------------------------------
+
+    def cast_rays(self, rays):
+        """rays: (..., 6) [origin, direction]. Returns dict with t_hit (inf on
+        miss), geometry_ids, primitive_ids, primitive_normals, primitive_uvs
+        (ref: RaycastingScene::CastRays, RaycastingScene.h:80)."""
+        v0, v1, v2, gid, T, tc = self._pack()
+        shape = rays.shape[:-1]
+        r = rays.reshape(-1, 6)
+        e1 = v1 - v0
+        e2 = v2 - v0
+        nt = v0.shape[0] // tc
+
+        def per_ray(ray):
+            def body(carry, tile_i):
+                bt, bi, bu, bv = carry
+                sl = tile_i * tc
+                t, u, v, hit = _moller_trumbore(
+                    ray[:3],
+                    ray[3:],
+                    jax.lax.dynamic_slice_in_dim(v0, sl, tc),
+                    jax.lax.dynamic_slice_in_dim(e1, sl, tc),
+                    jax.lax.dynamic_slice_in_dim(e2, sl, tc),
+                )
+                t = jnp.where(hit, t, _BIG)
+                j = jnp.argmin(t)
+                tmin = t[j]
+                take = tmin < bt
+                return (
+                    jnp.where(take, tmin, bt),
+                    jnp.where(take, sl + j.astype(jnp.int32), bi),
+                    jnp.where(take, u[j], bu),
+                    jnp.where(take, v[j], bv),
+                ), None
+
+            init = (_BIG, jnp.int32(-1), jnp.float32(0), jnp.float32(0))
+            (bt, bi, bu, bv), _ = jax.lax.scan(
+                body, init, jnp.arange(nt, dtype=jnp.int32)
+            )
+            return bt, bi, bu, bv
+
+        bt, bi, bu, bv = jax.lax.map(per_ray, r, batch_size=1024)
+        safe = jnp.maximum(bi, 0)
+        n = jnp.cross(e1[safe], e2[safe])
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        miss = bi < 0
+        return {
+            "t_hit": jnp.where(miss, jnp.inf, bt).reshape(shape),
+            "geometry_ids": jnp.where(miss, -1, gid[safe]).reshape(shape),
+            "primitive_ids": bi.reshape(shape),
+            "primitive_normals": jnp.where(miss[:, None], 0.0, n).reshape(shape + (3,)),
+            "primitive_uvs": jnp.stack(
+                [jnp.where(miss, 0.0, bu), jnp.where(miss, 0.0, bv)], -1
+            ).reshape(shape + (2,)),
+        }
+
+    def count_intersections(self, rays):
+        """(ref: RaycastingScene::CountIntersections)"""
+        v0, v1, v2, _, T, tc = self._pack()
+        shape = rays.shape[:-1]
+        r = rays.reshape(-1, 6)
+        e1, e2 = v1 - v0, v2 - v0
+        nt = v0.shape[0] // tc
+
+        def per_ray(ray):
+            def body(cnt, tile_i):
+                sl = tile_i * tc
+                _, _, _, hit = _moller_trumbore(
+                    ray[:3],
+                    ray[3:],
+                    jax.lax.dynamic_slice_in_dim(v0, sl, tc),
+                    jax.lax.dynamic_slice_in_dim(e1, sl, tc),
+                    jax.lax.dynamic_slice_in_dim(e2, sl, tc),
+                )
+                return cnt + jnp.sum(hit.astype(jnp.int32)), None
+
+            c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(nt, dtype=jnp.int32))
+            return c
+
+        return jax.lax.map(per_ray, r, batch_size=1024).reshape(shape)
+
+    # ---- distance queries --------------------------------------------------
+
+    def compute_closest_points(self, points):
+        """(ref: RaycastingScene::ComputeClosestPoints) Returns dict with
+        points (closest surface points), primitive_ids, geometry_ids,
+        primitive_normals."""
+        v0, v1, v2, gid, T, tc = self._pack()
+        shape = points.shape[:-1]
+        p = points.reshape(-1, 3).astype(jnp.float32)
+        nt = v0.shape[0] // tc
+
+        def per_point(q):
+            def body(carry, tile_i):
+                bd, bi, bp = carry
+                sl = tile_i * tc
+                cp = _closest_point_on_triangle(
+                    q,
+                    jax.lax.dynamic_slice_in_dim(v0, sl, tc),
+                    jax.lax.dynamic_slice_in_dim(v1, sl, tc),
+                    jax.lax.dynamic_slice_in_dim(v2, sl, tc),
+                )
+                d2 = jnp.sum((cp - q[None, :]) ** 2, -1)
+                j = jnp.argmin(d2)
+                take = d2[j] < bd
+                return (
+                    jnp.where(take, d2[j], bd),
+                    jnp.where(take, (sl + j).astype(jnp.int32), bi),
+                    jnp.where(take, cp[j], bp),
+                ), None
+
+            init = (_BIG, jnp.int32(-1), jnp.zeros(3, jnp.float32))
+            (bd, bi, bp), _ = jax.lax.scan(
+                body, init, jnp.arange(nt, dtype=jnp.int32)
+            )
+            return bd, bi, bp
+
+        bd, bi, bp = jax.lax.map(per_point, p, batch_size=1024)
+        safe = jnp.maximum(bi, 0)
+        n = jnp.cross(v1[safe] - v0[safe], v2[safe] - v0[safe])
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        return {
+            "points": bp.reshape(shape + (3,)),
+            "primitive_ids": bi.reshape(shape),
+            "geometry_ids": gid[safe].reshape(shape),
+            "primitive_normals": n.reshape(shape + (3,)),
+            "distance2": bd.reshape(shape),
+        }
+
+    def compute_distance(self, points):
+        """(ref: RaycastingScene::ComputeDistance)"""
+        return jnp.sqrt(jnp.maximum(self.compute_closest_points(points)["distance2"], 0.0))
+
+    def compute_occupancy(self, points):
+        """1.0 inside, 0.0 outside, by +x ray crossing parity on a watertight
+        mesh (ref: RaycastingScene::ComputeOccupancy)."""
+        shape = points.shape[:-1]
+        p = points.reshape(-1, 3)
+        # irrational-ish probe direction: axis-aligned probes hit shared
+        # triangle edges exactly on symmetric meshes and double-count
+        d = jnp.broadcast_to(
+            jnp.array([0.9212961, 0.3716541, 0.1130201], jnp.float32), p.shape
+        )
+        rays = jnp.concatenate([p, d], -1)
+        cnt = self.count_intersections(rays)
+        return (cnt % 2 == 1).astype(jnp.float32).reshape(shape)
+
+    def compute_signed_distance(self, points):
+        """(ref: RaycastingScene::ComputeSignedDistance): negative inside."""
+        dist = self.compute_distance(points)
+        occ = self.compute_occupancy(points)
+        return jnp.where(occ > 0.5, -dist, dist)
+
+
+def create_rays_pinhole(intrinsic, extrinsic, width_px: int, height_px: int):
+    """(R=H*W, 6) rays in world space through each pixel center
+    (ref: RaycastingScene::CreateRaysPinhole, RaycastingScene.h:200)."""
+    K = jnp.asarray(getattr(intrinsic, "intrinsic_matrix", intrinsic), jnp.float32)
+    E = jnp.asarray(extrinsic, jnp.float32)
+    Tcw = jnp.linalg.inv(E)  # camera->world
+    u, v = jnp.meshgrid(
+        jnp.arange(width_px, dtype=jnp.float32) + 0.5,
+        jnp.arange(height_px, dtype=jnp.float32) + 0.5,
+    )
+    x = (u - K[0, 2]) / K[0, 0]
+    y = (v - K[1, 2]) / K[1, 1]
+    dirs_cam = jnp.stack([x, y, jnp.ones_like(x)], -1)
+    dirs = dirs_cam @ Tcw[:3, :3].T
+    origin = jnp.broadcast_to(Tcw[:3, 3], dirs.shape)
+    return jnp.concatenate([origin, dirs], -1).reshape(height_px, width_px, 6)
