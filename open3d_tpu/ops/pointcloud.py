@@ -133,6 +133,28 @@ def estimate_normals(
     return pcd.with_attrs(normals=normals)
 
 
+def estimate_covariances(
+    pcd: PointCloud,
+    max_nn: int = 30,
+    radius: float | None = None,
+) -> PointCloud:
+    """Per-point neighborhood covariances as a (N, 3, 3) attr "covariances"
+    (ref: PointCloud::EstimateCovariances, geometry/EstimateNormals.cpp —
+    the GeneralizedICP input)."""
+    pos = pcd.positions
+    if radius is None:
+        idx, _ = nns.knn_search(pos, pos, max_nn, target_mask=pcd.mask)
+    else:
+        idx, _, _ = nns.hybrid_search(pos, pos, radius, max_nn, target_mask=pcd.mask)
+    nbr = gather_neighbors(pos, idx)
+    w = (idx >= 0).astype(jnp.float32)[..., None]
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mean = jnp.sum(nbr * w, axis=1) / cnt
+    d = (nbr - mean[:, None, :]) * w
+    cov = jnp.einsum("nki,nkj->nij", d, d) / cnt[..., None]
+    return pcd.with_attrs(covariances=cov)
+
+
 def orient_normals_to_align_with_direction(pcd: PointCloud, direction=(0.0, 0.0, 1.0)) -> PointCloud:
     """(ref: PointCloud::OrientNormalsToAlignWithDirection, PointCloud.h:529)"""
     d = jnp.asarray(direction, jnp.float32)

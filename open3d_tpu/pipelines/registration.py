@@ -182,6 +182,91 @@ class TransformationEstimationForColoredICP:
         return _solve_from_jacobian(J, r, ww)
 
 
+@dataclasses.dataclass(frozen=True)
+class TransformationEstimationForGeneralizedICP:
+    """Plane-to-plane GICP (ref: pipelines/registration/GeneralizedICP.cpp,
+    Segal-Haehnel-Thrun RSS'09; the reference has no tensor version — this is
+    the TPU-native one).
+
+    Per-point covariances are ε-regularized in their normal direction
+    (C = R diag(1,1,ε) Rᵀ); the GN step minimizes
+    Σ rᵀ (C_q + C_p)⁻¹ r with r = p - q over the 6-dof increment. Both clouds
+    must carry a "covariances" (N,3,3) attr (ops.estimate_covariances).
+    """
+
+    epsilon: float = 1e-3
+    kernel: RobustKernel = RobustKernel()
+
+    def _regularize(self, cov):
+        evals, evecs = jnp.linalg.eigh(cov)  # ascending
+        d = jnp.stack(
+            [jnp.full(evals.shape[:-1], self.epsilon), jnp.ones(evals.shape[:-1]),
+             jnp.ones(evals.shape[:-1])],
+            -1,
+        )
+        return jnp.einsum("...ij,...j,...kj->...ik", evecs, d, evecs)
+
+    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid):
+        idx = jnp.maximum(corr_idx, 0)
+        q = tgt.positions[idx]
+        c_p = self._regularize(src_attrs["covariances"])
+        c_q = self._regularize(tgt.attrs["covariances"][idx])
+        m = jnp.linalg.inv(c_q + c_p + 1e-6 * jnp.eye(3))  # (N,3,3)
+        r = src_pos - q  # (N,3)
+        # J (N,3,6): d r / d xi with xi = (omega, t): [-[p]x | I]
+        x, y, z = src_pos[:, 0], src_pos[:, 1], src_pos[:, 2]
+        zero = jnp.zeros_like(x)
+        neg_skew = jnp.stack(
+            [jnp.stack([zero, z, -y], -1),
+             jnp.stack([-z, zero, x], -1),
+             jnp.stack([y, -x, zero], -1)], -2
+        )  # (N,3,3) = -[p]x
+        eye = jnp.broadcast_to(jnp.eye(3), neg_skew.shape)
+        J = jnp.concatenate([neg_skew, eye], axis=-1)
+        w_rob = self.kernel.weight(jnp.linalg.norm(r, axis=-1))
+        w = (valid.astype(jnp.float32) * w_rob)[:, None, None]
+        JtMJ = jnp.einsum("nai,nab,nbj->ij", J, m * w, J)
+        JtMr = jnp.einsum("nai,nab,nb->i", J, m * w, r)
+        xi = linalg.solve_gn_6x6(JtMJ, JtMr)
+        return lie.se3_exp(xi)
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformationEstimationForDopplerICP:
+    """Doppler-aided point-to-plane (ref: TransformationEstimation.h:308,
+    kernel ComputePoseDopplerICP; Hexsel-Vhavle-Vassilieva RSS'22).
+
+    Source attrs must carry "dopplers" (N,) m/s and "directions" (N,3) unit
+    sensor->point rays; `period` is the scan period (s). The Doppler residual
+    couples the translational velocity v = t/period to the measured radial
+    speed: r_d = doppler - (-dᵀ v).
+    """
+
+    period: float = 0.1
+    lambda_doppler: float = 0.01
+    kernel: RobustKernel = RobustKernel()
+
+    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid):
+        idx = jnp.maximum(corr_idx, 0)
+        q = tgt.positions[idx]
+        n = tgt.attrs["normals"][idx]
+        r_g = jnp.sum((src_pos - q) * n, axis=-1)
+        J_g = jnp.concatenate([jnp.cross(src_pos, n), n], axis=-1)
+
+        d = src_attrs["directions"]
+        dop = src_attrs["dopplers"]
+        # v_ego ~ (omega x p + t)/period; radial speed = -d . v_ego
+        J_d = jnp.concatenate([jnp.cross(src_pos, d), d], axis=-1) / self.period
+        r_d = dop + jnp.sum(d * 0.0, -1)  # predicted at xi=0 is 0
+        sqrt_lg = jnp.sqrt(1.0 - self.lambda_doppler)
+        sqrt_ld = jnp.sqrt(self.lambda_doppler)
+        w = valid.astype(jnp.float32) * self.kernel.weight(r_g)
+        J = jnp.concatenate([sqrt_lg * J_g, sqrt_ld * J_d], axis=0)
+        r = jnp.concatenate([sqrt_lg * r_g, sqrt_ld * r_d], axis=0)
+        ww = jnp.concatenate([w, valid.astype(jnp.float32)], axis=0)
+        return _solve_from_jacobian(J, r, ww)
+
+
 def _intensity(colors: jnp.ndarray) -> jnp.ndarray:
     if colors.ndim == 2 and colors.shape[-1] == 3:
         return jnp.mean(colors, axis=-1)
