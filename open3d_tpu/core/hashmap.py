@@ -3,18 +3,27 @@
 Reference: core/hashmap/HashMap.h:64 — Int32x3 keys -> value-buffer indices,
 with Insert/Activate/Find/Erase over preallocated buffers; CUDA backends are
 SlabHash/stdgpu (HashMap.h:27-58 documents the backend contract, including
-non-dense buffer indices).
+non-dense buffer indices). Reference keys are arbitrary Int32x3
+(HashMap.h:112-165); this module matches that range for all practical scenes.
 
-TPU design: the table is a single (capacity,) int32 array of PACKED keys in
-HBM, managed with pure gather/scatter — no atomics, no pointers:
+TPU design: the table is a single (capacity, 2) int32 array of PACKED key
+pairs in HBM, managed with pure gather/scatter — no atomics, no pointers:
 
-- 3D block coords are packed into one int32 (10 bits + offset 512 per axis,
-  ~±47 m of scene at the default 9.3 cm block pitch — configurable);
+- 3D block coords are packed into TWO int32 words, 21 bits per axis
+  (range ±2^20 blocks ≈ ±97 km of scene at the default 9.3 cm block pitch).
+  Word layout:  w0 = x21 << 11 | y21_hi11
+                w1 = y21_lo10 << 22 | z21 << 1 | 1
+  The low bit of w1 is always 1 for a valid key, so emptiness/tombstones are
+  encoded entirely in w1's parity: w1 == 0 -> empty slot, w1 == 2 ->
+  tombstone (erased), odd -> occupied. No sentinel can collide with a key.
 - FIND is a vectorized linear-probe loop (fixed max probes, lax.fori_loop);
-- ACTIVATE (insert-if-absent) resolves collisions with a scatter-min "claim"
-  round instead of CAS: every pending key proposes itself for its probe slot,
-  the minimum candidate id wins the slot, losers advance their probe offset.
+  empty slots end the probe chain, tombstones do not.
+- ACTIVATE (insert-if-absent) first runs the find phase, then resolves
+  insert collisions with a scatter-min "claim" round instead of CAS: every
+  pending key proposes itself for its probe slot (empty or tombstone), the
+  minimum candidate id wins the slot, losers advance their probe offset.
   All lanes progress in lock-step rounds; max_rounds bounds the loop.
+- ERASE writes tombstones so downstream probe chains stay intact.
 
 The slot index IS the value-buffer index (like the reference's buf_index),
 so callers keep value arrays as (capacity, ...) tensors alongside.
@@ -25,31 +34,61 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-EMPTY = jnp.int32(-2147483648)  # sentinel for unoccupied slots / invalid keys
+KEY_WORDS = 2
 
-_COORD_BITS = 10
-_COORD_OFF = 1 << (_COORD_BITS - 1)  # 512
+_COORD_BITS = 21
+_COORD_OFF = 1 << (_COORD_BITS - 1)  # 2^20
 _COORD_MASK = (1 << _COORD_BITS) - 1
+
+# w1 parity encodes slot state; these are full-pair constants for scatters.
+_EMPTY_W1 = 0
+_TOMB_W1 = 2
+
+
+def make_table(capacity: int) -> jnp.ndarray:
+    """Fresh table of `capacity` slots (all empty).
+    (ref: HashMap ctor, core/hashmap/HashMap.h:72)"""
+    return jnp.zeros((capacity, 2), jnp.int32)
+
+
+def empty_keys(shape) -> jnp.ndarray:
+    """All-invalid key array of leading shape `shape` (+ trailing 2)."""
+    if isinstance(shape, int):
+        shape = (shape,)
+    return jnp.zeros(tuple(shape) + (2,), jnp.int32)
+
+
+def is_valid(keys: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2) -> (...,) bool: valid packed key (w1 odd)."""
+    return (keys[..., 1] & 1) == 1
 
 
 def pack_coords(coords: jnp.ndarray) -> jnp.ndarray:
-    """(N, 3) int32 block coords in [-512, 511] -> (N,) packed int32.
-    Out-of-range coords are clamped (documented scene-extent limit)."""
-    c = jnp.clip(coords + _COORD_OFF, 0, _COORD_MASK)
-    return (c[..., 0] << (2 * _COORD_BITS)) | (c[..., 1] << _COORD_BITS) | c[..., 2]
+    """(..., 3) int32 coords in [-2^20, 2^20-1] -> (..., 2) packed key pair.
+    Out-of-range coords are clamped (±97 km at 9.3 cm blocks)."""
+    c = jnp.clip(coords + _COORD_OFF, 0, _COORD_MASK).astype(jnp.uint32)
+    x, y, z = c[..., 0], c[..., 1], c[..., 2]
+    w0 = (x << 11) | (y >> 10)
+    w1 = ((y & jnp.uint32(0x3FF)) << 22) | (z << 1) | jnp.uint32(1)
+    return jnp.stack([w0, w1], axis=-1).astype(jnp.int32)
 
 
-def unpack_coords(packed: jnp.ndarray) -> jnp.ndarray:
-    """(N,) packed int32 -> (N, 3) int32 block coords."""
-    x = ((packed >> (2 * _COORD_BITS)) & _COORD_MASK) - _COORD_OFF
-    y = ((packed >> _COORD_BITS) & _COORD_MASK) - _COORD_OFF
-    z = (packed & _COORD_MASK) - _COORD_OFF
-    return jnp.stack([x, y, z], axis=-1)
+def unpack_coords(keys: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2) packed -> (..., 3) int32 coords."""
+    w0 = keys[..., 0].astype(jnp.uint32)
+    w1 = keys[..., 1].astype(jnp.uint32)
+    x = (w0 >> 11) & jnp.uint32(_COORD_MASK)
+    y = ((w0 & jnp.uint32(0x7FF)) << 10) | ((w1 >> 22) & jnp.uint32(0x3FF))
+    z = (w1 >> 1) & jnp.uint32(_COORD_MASK)
+    out = jnp.stack([x, y, z], axis=-1).astype(jnp.int32) - _COORD_OFF
+    return out
 
 
-def _hash(x: jnp.ndarray) -> jnp.ndarray:
-    """Finalizer-style integer mix (murmur3 fmix32 constants)."""
-    x = x.astype(jnp.uint32)
+def _hash(keys: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2) -> (...,) uint32. Finalizer-style mix (murmur3 fmix32)."""
+    x = keys[..., 0].astype(jnp.uint32) ^ (
+        keys[..., 1].astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+    )
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> 13)
@@ -59,89 +98,153 @@ def _hash(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def find(table: jnp.ndarray, query: jnp.ndarray, max_probes: int = 32):
-    """Look up packed keys. Returns (slot (N,) int32, found (N,) bool).
-    slot is valid only where found. query == EMPTY rows return found=False.
-    (ref: HashMap::Find, core/hashmap/HashMap.h:141)"""
+    """Look up packed key pairs (N, 2). Returns (slot (N,) int32, found (N,)
+    bool). slot is valid only where found. Invalid query rows return
+    found=False. (ref: HashMap::Find, core/hashmap/HashMap.h:141)"""
     C = table.shape[0]
     h = (_hash(query) % jnp.uint32(C)).astype(jnp.int32)
-    valid_q = query != EMPTY
+    q0, q1 = query[..., 0], query[..., 1]
+    valid_q = is_valid(query)
 
     def body(p, carry):
         slot, found, dead = carry
         s = (h + p) % C
         cur = table[s]
-        hit = (cur == query) & ~found & ~dead
+        hit = (cur[..., 0] == q0) & (cur[..., 1] == q1) & ~found & ~dead
         slot = jnp.where(hit, s, slot)
         found = found | hit
-        dead = dead | (cur == EMPTY)  # empty slot ends the probe chain
+        dead = dead | (cur[..., 1] == _EMPTY_W1)  # empty ends the chain
         return slot, found, dead
 
-    slot0 = jnp.full(query.shape, -1, jnp.int32)
-    found0 = jnp.zeros(query.shape, bool)
+    slot0 = jnp.full(q0.shape, -1, jnp.int32)
+    found0 = jnp.zeros(q0.shape, bool)
     slot, found, _ = jax.lax.fori_loop(0, max_probes, body, (slot0, found0, ~valid_q))
     return slot, found & valid_q
 
 
-def activate(table: jnp.ndarray, keys: jnp.ndarray, max_rounds: int = 64):
-    """Insert-if-absent a batch of UNIQUE packed keys (duplicates within the
-    batch must be removed first — see unique_packed). keys == EMPTY rows are
-    ignored. Returns (new_table, slot (N,) int32, ok (N,) bool).
+def activate(
+    table: jnp.ndarray,
+    keys: jnp.ndarray,
+    max_probes: int = 32,
+    max_rounds: int = 16,
+):
+    """Insert-if-absent a batch of UNIQUE packed key pairs (N, 2) (duplicates
+    within the batch must be removed first — see unique_keys). Invalid rows
+    are ignored. Returns (new_table, slot (N,) int32, ok (N,) bool).
     (ref: HashMap::Activate, core/hashmap/HashMap.h:112)"""
     C = table.shape[0]
     N = keys.shape[0]
     h = (_hash(keys) % jnp.uint32(C)).astype(jnp.int32)
+    k0, k1 = keys[..., 0], keys[..., 1]
     ids = jnp.arange(N, dtype=jnp.int32)
     big = jnp.int32(N + 1)
+
+    # Phase 1: full find so keys sitting beyond tombstones are not duplicated.
+    slot0, found0 = find(table, keys, max_probes)
 
     def body(_, carry):
         table, p, slot, done = carry
         s = (h + p) % C
         cur = table[s]
-        # already present (pre-existing key or a winner from a prior round)
-        hit = (cur == keys) & ~done
+        # already present (a winner from a prior round of this batch)
+        hit = (cur[..., 0] == k0) & (cur[..., 1] == k1) & ~done
         slot = jnp.where(hit, s, slot)
         done = done | hit
-        empty = (cur == EMPTY) & ~done
-        # claim: lowest pending id wins each contested empty slot
+        free = ((cur[..., 1] & 1) == 0) & ~done  # empty or tombstone
+        # claim: lowest pending id wins each contested free slot
         claim = jnp.full((C,), big, jnp.int32)
-        claim = claim.at[jnp.where(empty, s, 0)].min(jnp.where(empty, ids, big))
-        win = empty & (claim[s] == ids)
+        claim = claim.at[jnp.where(free, s, 0)].min(jnp.where(free, ids, big))
+        win = free & (claim[s] == ids)
         table = table.at[jnp.where(win, s, C)].set(
-            jnp.where(win, keys, EMPTY), mode="drop"
+            jnp.where(win[:, None], keys, 0), mode="drop"
         )
         slot = jnp.where(win, s, slot)
         done = done | win
-        # occupied by a different key (incl. slots lost this round next time)
-        advance = ~done & (cur != EMPTY) & ~hit
-        # losers of a claim stay at p: next round they see it occupied & advance
+        # occupied by a different key -> advance; claim losers stay at p and
+        # will see the slot occupied next round
+        advance = ~done & ((cur[..., 1] & 1) == 1) & ~hit
         p = p + advance.astype(jnp.int32)
         return table, p, slot, done
 
     p0 = jnp.zeros((N,), jnp.int32)
-    slot0 = jnp.full((N,), -1, jnp.int32)
-    done0 = keys == EMPTY
-    table, _, slot, done = jax.lax.fori_loop(0, max_rounds, body, (table, p0, slot0, done0))
-    ok = done & (keys != EMPTY)
+    done0 = found0 | ~is_valid(keys)
+    table, _, slot, done = jax.lax.fori_loop(
+        0, max_rounds, body, (table, p0, slot0, done0)
+    )
+    ok = done & is_valid(keys)
     return table, slot, ok
 
 
-def unique_packed(packed: jnp.ndarray, capacity: int):
-    """Deduplicate packed keys (EMPTY = invalid) into a fixed-capacity array.
-    Returns (unique (capacity,) int32 with EMPTY padding, count int32).
+def erase(table: jnp.ndarray, keys: jnp.ndarray, max_probes: int = 32):
+    """Remove keys (tombstone their slots). Returns (new_table, erased (N,)
+    bool). (ref: HashMap::Erase, core/hashmap/HashMap.h:131)"""
+    slot, found = find(table, keys, max_probes)
+    C = table.shape[0]
+    dst = jnp.where(found, slot, C)
+    tomb = jnp.stack(
+        [jnp.zeros_like(slot), jnp.full_like(slot, _TOMB_W1)], axis=-1
+    )
+    table = table.at[dst].set(jnp.where(found[:, None], tomb, 0), mode="drop")
+    return table, found
+
+
+def unique_keys(keys: jnp.ndarray, capacity: int):
+    """Deduplicate packed key pairs (N, 2) into a fixed-capacity array.
+    Returns (unique (capacity, 2) int32, invalid-padded, count int32).
     Sort-based — the TPU-friendly replacement for hash-set dedup."""
-    if packed.shape[0] < capacity:  # pad so the output slice is full-size
-        packed = jnp.concatenate(
-            [packed, jnp.full((capacity - packed.shape[0],), EMPTY, packed.dtype)]
-        )
-    s = jnp.sort(packed)
-    # EMPTY (INT32_MIN) sorts first; drop it and duplicates
-    first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]]) & (s != EMPTY)
+    N = keys.shape[0]
+    if N < capacity:  # pad so the output slice is full-size
+        keys = jnp.concatenate([keys, empty_keys(capacity - N)])
+    w0, w1 = keys[..., 0], keys[..., 1]
+    ok = is_valid(keys)
+    # push invalid rows to the sort tail: int32-max w0, even (invalid) w1
+    w0 = jnp.where(ok, w0, jnp.int32(0x7FFFFFFF))
+    w1 = jnp.where(ok, w1, jnp.int32(0x7FFFFFFE))
+    s0, s1 = jax.lax.sort((w0, w1), num_keys=2)
+    sval = (s1 & 1) == 1
+    first = (
+        jnp.concatenate([jnp.array([True]), (s0[1:] != s0[:-1]) | (s1[1:] != s1[:-1])])
+        & sval
+    )
     count = jnp.sum(first.astype(jnp.int32))
-    order = jnp.argsort(~first, stable=True)
-    out = s[order[:capacity]]
+    nf = (~first).astype(jnp.int32)
+    _, o0, o1 = jax.lax.sort((nf, s0, s1), num_keys=1, is_stable=True)
+    out = jnp.stack([o0[:capacity], o1[:capacity]], axis=-1)
     valid = jnp.arange(capacity) < count
-    return jnp.where(valid, out, EMPTY), jnp.minimum(count, capacity)
+    out = jnp.where(valid[:, None], out, 0)
+    return out, jnp.minimum(count, capacity)
 
 
 def occupied_mask(table: jnp.ndarray) -> jnp.ndarray:
-    return table != EMPTY
+    """(C,) bool: slot holds a live key."""
+    return (table[..., 1] & 1) == 1
+
+
+def active_slots(table: jnp.ndarray, capacity: int):
+    """Compacted indices of occupied slots, invalid-padded to `capacity`.
+    Returns (slots (capacity,) int32, count). (ref:
+    HashMap::GetActiveIndices, core/hashmap/HashMap.h:151)"""
+    occ = occupied_mask(table)
+    C = table.shape[0]
+    rank = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    count = jnp.sum(occ.astype(jnp.int32))
+    dst = jnp.where(occ & (rank < capacity), rank, capacity)
+    out = jnp.full((capacity + 1,), -1, jnp.int32)
+    out = out.at[dst].set(jnp.arange(C, dtype=jnp.int32), mode="drop")
+    return out[:capacity], jnp.minimum(count, capacity)
+
+
+def resize(table: jnp.ndarray, new_capacity: int):
+    """Host-level rehash into a larger (or smaller, if it fits) table.
+    Returns (new_table, old_slots (C,) int32, new_slots (C,) int32, count):
+    row i of the mapping says the key at old slot old_slots[i] now lives at
+    new slot new_slots[i], for i < count — callers re-scatter their value
+    buffers with it. (ref: HashMap::Rehash, core/hashmap/HashMap.h:160)"""
+    C = table.shape[0]
+    old_slots, count = active_slots(table, C)
+    keys = table[jnp.maximum(old_slots, 0)]
+    keys = jnp.where((old_slots >= 0)[:, None], keys, 0)
+    new_table, new_slots, ok = activate(
+        make_table(new_capacity), keys, max_rounds=64
+    )
+    return new_table, old_slots, jnp.where(ok, new_slots, -1), count

@@ -5,24 +5,32 @@ a core::HashMap of 16^3 voxel blocks keyed by Int32x3 block coords with value
 buffers {tsdf: f32, weight, color} (ctor VoxelBlockGrid.cpp:65-117);
 GetUniqueBlockCoordinates = frustum "touch" on 4x-downsampled depth
 (.cpp:212-245, kernel DepthTouch); Integrate = Activate+Find then per-voxel
-projective SDF update (VoxelBlockGridImpl.h:153-304); RayCast = sphere trace
-with in-kernel hash lookups (Impl.h:564-1100); ExtractPointCloud =
+projective SDF update (VoxelBlockGridImpl.h:153-304); RayCast = 2-pass:
+EstimateRange block rasterization (Impl.h:307-560) then per-pixel sphere
+trace with in-kernel hash lookups (Impl.h:564-1100); ExtractPointCloud =
 zero-crossing detection with neighbor-block tables (.cpp:404-434).
 
-TPU design:
-- the hash table is core/hashmap.py's packed-int32 open-addressing table; the
-  slot index doubles as the value-buffer row, so all voxel payloads live in
-  (capacity+1, B^3) HBM tensors (+1 = scatter dump row);
-- tsdf is stored NORMALIZED to [-1, 1] (sdf / trunc) like the reference;
-- Integrate gathers the touched blocks' payloads, recomputes the projective
-  SDF for all B^3 voxels of up to frame_block_capacity blocks in one fused
-  vectorized pass, and scatters back — no per-voxel kernel launches;
-- RayCast marches all rays in lock-step inside one lax.while_loop with
-  vectorized hash finds per step (the reference's per-thread block cache
-  becomes XLA gather batching).
+TPU design (round 2, perf-first):
+- the hash table is core/hashmap.py's two-word open-addressing table; the
+  slot index doubles as the value-buffer row;
+- voxel payloads are COMPACT: one (capacity+1, B^3) uint32 "tw" buffer packs
+  {tsdf: s1.14 fixed (hi 16) | weight: u16 (lo 16)} and one (capacity+1,
+  B^3) int32 "color" buffer packs {R:11|G:11|B:10} — a single gather fetches a
+  voxel's full TSDF state (the reference instead supports compact u16/u8
+  attr dtypes, VoxelBlockGrid.cpp:65-117). tsdf is NORMALIZED to [-1, 1]
+  (sdf / trunc) like the reference; row `capacity` is the scatter dump row
+  whose weight is kept 0 (readers treat it as "missing block");
+- Integrate computes the projective SDF for all B^3 voxels of the (small,
+  static) touched-block capacity with FLAT linearized image gathers, then a
+  Pallas scatter-row kernel (scalar-prefetched slot ids select the DMA'd
+  row; input_output_aliases updates the grid in place) fuses old/new —
+  donate the grid across frames;
+- RayCast first rasterizes active blocks into per-16x16-pixel-tile
+  (z_min, z_max) ranges (the reference's EstimateRange), then marches all
+  rays in lock-step inside one lax.while_loop bounded by the tile range.
 
-Everything is a pytree; `integrate` / `raycast` jit cleanly and the grid can
-be donated across frames (in-place buffer reuse under jit).
+Everything is a pytree; `integrate` / `raycast` jit cleanly and the grid
+MUST be donated across frames for speed (donate_argnums on the step).
 """
 
 from __future__ import annotations
@@ -35,23 +43,62 @@ import jax
 import jax.numpy as jnp
 
 from open3d_tpu.core import hashmap as hm
-from open3d_tpu.core import lie
 from open3d_tpu.core.masking import FAR_COORD
 from open3d_tpu.geometry.camera import PinholeCameraIntrinsic
 from open3d_tpu.geometry.pointcloud import PointCloud
 
+# ---------------------------------------------------------------------------
+# Packed payload codecs
+# ---------------------------------------------------------------------------
+
+
+# All payload codecs use int32 + fixed point (no unsigned dtypes, no
+# bitcasts): Mosaic/TPU supports i32 shifts/masks and i32<->f32 casts
+# natively, and s1.14 fixed point resolves the normalized TSDF to 6e-5 —
+# finer than the bf16 alternative.
+_TSDF_SCALE = 16383.0
+
+
+def pack_tw(tsdf: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """tsdf f32 in [-1,1] (stored s1.14 fixed) + weight (clipped u16) -> i32."""
+    tq = jnp.round(jnp.clip(tsdf, -1.0, 1.0) * _TSDF_SCALE).astype(jnp.int32)
+    w = jnp.clip(weight, 0, 65535).astype(jnp.int32)
+    return (tq << 16) | w
+
+
+def unpack_tw(tw: jnp.ndarray):
+    """i32 -> (tsdf f32, weight f32). Arithmetic >> recovers the sign."""
+    t = (tw >> 16).astype(jnp.float32) * (1.0 / _TSDF_SCALE)
+    w = (tw & 0xFFFF).astype(jnp.float32)
+    return t, w
+
+
+def pack_rgb(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) floats in [0, 1] -> i32 {R:11|G:11|B:10} (raw bits)."""
+    r = jnp.clip(jnp.round(rgb[..., 0] * 2047.0), 0, 2047).astype(jnp.int32)
+    g = jnp.clip(jnp.round(rgb[..., 1] * 2047.0), 0, 2047).astype(jnp.int32)
+    b = jnp.clip(jnp.round(rgb[..., 2] * 1023.0), 0, 1023).astype(jnp.int32)
+    return (r << 21) | (g << 10) | b
+
+
+def unpack_rgb(c: jnp.ndarray) -> jnp.ndarray:
+    """i32 -> (..., 3) floats in [0, 1] (mask after arithmetic shift)."""
+    r = ((c >> 21) & 0x7FF).astype(jnp.float32) / 2047.0
+    g = ((c >> 10) & 0x7FF).astype(jnp.float32) / 2047.0
+    b = (c & 0x3FF).astype(jnp.float32) / 1023.0
+    return jnp.stack([r, g, b], axis=-1)
+
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["table", "tsdf", "weight", "color"],
+    data_fields=["table", "tw", "color"],
     meta_fields=["voxel_size", "block_resolution", "sdf_trunc"],
 )
 @dataclasses.dataclass(frozen=True)
 class VoxelBlockGrid:
-    table: jnp.ndarray  # (C,) int32 packed block keys (hm.EMPTY = free)
-    tsdf: jnp.ndarray  # (C + 1, B^3) f32, normalized [-1, 1]; row C = dump
-    weight: jnp.ndarray  # (C + 1, B^3) f32
-    color: jnp.ndarray  # (C + 1, B^3, 3) f32  (zeros-size (C+1, 0, 3) if no color)
+    table: jnp.ndarray  # (C, 2) int32 packed block keys (see core/hashmap)
+    tw: jnp.ndarray  # (C + 1, B^3) i32 {tsdf s1.14 fixed | weight u16}; row C = dump
+    color: jnp.ndarray  # (C + 1, B^3) i32 {R11|G11|B10} ((C+1, 0) if no color)
     voxel_size: float
     block_resolution: int
     sdf_trunc: float
@@ -64,8 +111,19 @@ class VoxelBlockGrid:
     def block_size(self) -> float:
         return self.voxel_size * self.block_resolution
 
+    @property
+    def has_color(self) -> bool:
+        return self.color.shape[1] > 0
+
     def num_active_blocks(self) -> jnp.ndarray:
         return jnp.sum(hm.occupied_mask(self.table).astype(jnp.int32))
+
+    # convenience views (f32), mainly for tests / IO round-trips
+    def tsdf_weight(self):
+        return unpack_tw(self.tw)
+
+    def color_f32(self):
+        return unpack_rgb(self.color)
 
 
 def create(
@@ -81,10 +139,9 @@ def create(
     B3 = block_resolution**3
     C = block_count
     return VoxelBlockGrid(
-        table=jnp.full((C,), hm.EMPTY, jnp.int32),
-        tsdf=jnp.zeros((C + 1, B3), jnp.float32),
-        weight=jnp.zeros((C + 1, B3), jnp.float32),
-        color=jnp.zeros((C + 1, B3 if with_color else 0, 3), jnp.float32),
+        table=hm.make_table(C),
+        tw=jnp.zeros((C + 1, B3), jnp.int32),
+        color=jnp.zeros((C + 1, B3 if with_color else 0), jnp.int32),
         voxel_size=float(voxel_size),
         block_resolution=int(block_resolution),
         sdf_trunc=float(sdf_trunc if sdf_trunc is not None else 4.0 * voxel_size),
@@ -103,12 +160,12 @@ def compute_unique_block_coordinates(
     extrinsic: jnp.ndarray,
     depth_max: float = 3.0,
     stride: int = 4,
-    frame_block_capacity: int = 4096,
+    frame_block_capacity: int = 2048,
 ):
-    """Packed coords of all blocks within sdf_trunc of the depth surface,
+    """Packed keys of all blocks within sdf_trunc of the depth surface,
     from a `stride`-downsampled depth image (ref: GetUniqueBlockCoordinates,
     VoxelBlockGrid.cpp:212-245, kernel DepthTouch). Returns
-    (packed (frame_block_capacity,) int32 padded with EMPTY, count)."""
+    (keys (frame_block_capacity, 2) int32 invalid-padded, count)."""
     d = depth[::stride, ::stride]
     H, W = d.shape
     u = (jnp.arange(W, dtype=jnp.float32) * stride)[None, :]
@@ -131,12 +188,12 @@ def compute_unique_block_coordinates(
         p_cam = ray * z[..., None]
         p_world = p_cam.reshape(-1, 3) @ R + cam_origin  # R^T row-applied
         block = jnp.floor(p_world / bs).astype(jnp.int32)
-        packed = hm.pack_coords(block)
+        keys = hm.pack_coords(block)
         ok = valid.reshape(-1) & ((d + dz) > 0).reshape(-1)
-        return jnp.where(ok, packed, hm.EMPTY)
+        return jnp.where(ok[:, None], keys, 0)
 
-    packed_all = jax.vmap(at_offset)(zs).reshape(-1)
-    return hm.unique_packed(packed_all, frame_block_capacity)
+    keys_all = jax.vmap(at_offset)(zs).reshape(-1, 2)
+    return hm.unique_keys(keys_all, frame_block_capacity)
 
 
 # ---------------------------------------------------------------------------
@@ -152,36 +209,19 @@ def _voxel_local_coords(B: int) -> jnp.ndarray:
     return jnp.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], axis=-1)
 
 
-def integrate(
-    vbg: VoxelBlockGrid,
-    block_keys: jnp.ndarray,  # (M,) packed, EMPTY-padded (from touch)
-    depth: jnp.ndarray,
-    color: Optional[jnp.ndarray],
-    intrinsic: PinholeCameraIntrinsic,
-    extrinsic: jnp.ndarray,
-    depth_max: float = 3.0,
-    depth_scale: float = 1.0,
-    weight_max: float = 10000.0,
-) -> VoxelBlockGrid:
-    """Fuse one depth (+color) frame (ref: VoxelBlockGrid::Integrate,
-    .cpp:292-326; per-voxel kernel VoxelBlockGridImpl.h:153-304).
+def _new_voxel_values(
+    vbg, block_keys, depth, color, intrinsic, extrinsic, depth_max, depth_scale, ok
+):
+    """Per-voxel projective SDF samples for the touched blocks.
 
-    depth must be metric float32 (pass raw/depth_scale yourself or use
-    depth_scale); extrinsic is world->camera.
-    """
+    Returns (tsdf_new (M,B3) f32, wn (M,B3) f32, cnew (M,B3) u32|None).
+    Pixel sampling uses FLAT linearized indices (9x faster than 2-D gathers
+    on TPU) and one packed-u32 color gather."""
     B = vbg.block_resolution
-    B3 = B**3
-    C = vbg.capacity
-
-    table, slot, ok = hm.activate(vbg.table, block_keys)
-    # rows for invalid/failed blocks go to the dump row C
-    rows = jnp.where(ok, slot, C)
-
     coords = hm.unpack_coords(block_keys)  # (M, 3)
     local = _voxel_local_coords(B)  # (B3, 3)
-    # world position of every voxel of every touched block: (M, B3, 3)
     origin = coords.astype(jnp.float32) * vbg.block_size
-    pw = origin[:, None, :] + (local.astype(jnp.float32) + 0.0) * vbg.voxel_size
+    pw = origin[:, None, :] + local.astype(jnp.float32) * vbg.voxel_size
 
     R = extrinsic[:3, :3]
     t = extrinsic[:3, 3]
@@ -191,42 +231,97 @@ def integrate(
     v = pc[..., 1] / jnp.maximum(z, 1e-6) * intrinsic.fy + intrinsic.cy
     ui = jnp.round(u).astype(jnp.int32)
     vi = jnp.round(v).astype(jnp.int32)
-    inb = (z > 1e-4) & (ui >= 0) & (ui < intrinsic.width) & (vi >= 0) & (vi < intrinsic.height)
-    ui = jnp.clip(ui, 0, intrinsic.width - 1)
-    vi = jnp.clip(vi, 0, intrinsic.height - 1)
+    Wd = intrinsic.width
+    inb = (z > 1e-4) & (ui >= 0) & (ui < Wd) & (vi >= 0) & (vi < intrinsic.height)
+    lin = jnp.where(inb, vi * Wd + jnp.clip(ui, 0, Wd - 1), 0)
 
-    d = depth[vi, ui] / depth_scale  # (M, B3)
+    d = depth.reshape(-1)[lin] / depth_scale  # (M, B3) flat gather
     d_ok = inb & (d > 0) & (d < depth_max)
     sdf = d - z
     keep = d_ok & (sdf >= -vbg.sdf_trunc)
     tsdf_new = jnp.clip(sdf / vbg.sdf_trunc, -1.0, 1.0)
+    wn = (keep & ok[:, None]).astype(jnp.float32)
 
-    old_tsdf = vbg.tsdf[rows]
-    old_w = vbg.weight[rows]
-    wn = keep.astype(jnp.float32) * ok[:, None].astype(jnp.float32)
+    cnew = None
+    if color is not None and vbg.has_color:
+        cpacked = pack_rgb(color).reshape(-1)  # (H*W,) u32, fused by XLA
+        cnew = cpacked[lin]  # (M, B3) u32
+    return tsdf_new, wn, cnew
+
+
+def _fuse_xla(vbg, rows, tsdf_new, wn, cnew, weight_max):
+    """Portable fuse path: gather rows, weighted-mean, scatter rows back.
+    Used on CPU (tests) and as the reference implementation for the Pallas
+    kernel in ops/pallas/tsdf.py."""
+    C = vbg.capacity
+    old_t, old_w = unpack_tw(vbg.tw[rows])
     w_sum = old_w + wn
-    fused_tsdf = jnp.where(
-        wn > 0, (old_tsdf * old_w + tsdf_new * wn) / jnp.maximum(w_sum, 1e-6), old_tsdf
+    fused_t = jnp.where(
+        wn > 0, (old_t * old_w + tsdf_new * wn) / jnp.maximum(w_sum, 1e-6), old_t
     )
     fused_w = jnp.minimum(w_sum, weight_max)
-
-    # invariant: the dump row C stays all-zero (readers treat row C as
-    # "missing block"), so clear whatever the scatter spilled into it
-    tsdf_arr = vbg.tsdf.at[rows].set(fused_tsdf).at[C].set(0.0)
-    weight_arr = vbg.weight.at[rows].set(fused_w).at[C].set(0.0)
-
+    tw = vbg.tw.at[rows].set(pack_tw(fused_t, fused_w)).at[C].set(0)
     color_arr = vbg.color
-    if color is not None and vbg.color.shape[1] > 0:
-        cs = color[vi, ui]  # (M, B3, 3)
-        old_c = vbg.color[rows]
+    if cnew is not None:
+        old_c = unpack_rgb(vbg.color[rows])
+        new_c = unpack_rgb(cnew)
         fused_c = jnp.where(
             (wn > 0)[..., None],
-            (old_c * old_w[..., None] + cs * wn[..., None]) / jnp.maximum(w_sum, 1e-6)[..., None],
+            (old_c * old_w[..., None] + new_c * wn[..., None])
+            / jnp.maximum(w_sum, 1e-6)[..., None],
             old_c,
         )
-        color_arr = vbg.color.at[rows].set(fused_c).at[C].set(0.0)
+        color_arr = vbg.color.at[rows].set(pack_rgb(fused_c)).at[C].set(0)
+    return tw, color_arr
 
-    return dataclasses.replace(vbg, table=table, tsdf=tsdf_arr, weight=weight_arr, color=color_arr)
+
+def integrate(
+    vbg: VoxelBlockGrid,
+    block_keys: jnp.ndarray,  # (M, 2) packed, invalid-padded (from touch)
+    depth: jnp.ndarray,
+    color: Optional[jnp.ndarray],
+    intrinsic: PinholeCameraIntrinsic,
+    extrinsic: jnp.ndarray,
+    depth_max: float = 3.0,
+    depth_scale: float = 1.0,
+    weight_max: float = 10000.0,
+    use_pallas: Optional[bool] = None,
+) -> VoxelBlockGrid:
+    """Fuse one depth (+color) frame (ref: VoxelBlockGrid::Integrate,
+    .cpp:292-326; per-voxel kernel VoxelBlockGridImpl.h:153-304).
+
+    depth must be metric float32 (pass raw/depth_scale yourself or use
+    depth_scale); extrinsic is world->camera. Jit with the grid donated.
+    """
+    C = vbg.capacity
+
+    table, slot, ok = hm.activate(vbg.table, block_keys)
+    rows = jnp.where(ok, slot, C)  # failed/invalid blocks -> dump row
+
+    tsdf_new, wn, cnew = _new_voxel_values(
+        vbg, block_keys, depth, color, intrinsic, extrinsic, depth_max, depth_scale, ok
+    )
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from open3d_tpu.ops.pallas.tsdf import fuse_blocks
+
+        tw, color_arr = fuse_blocks(
+            vbg.tw, vbg.color if cnew is not None else None,
+            rows, tsdf_new, wn, cnew, weight_max,
+        )
+        # restore the dump-row invariant (weight == 0 there; the kernel may
+        # have scattered invalid blocks into it)
+        tw = tw.at[C].set(0)
+        if cnew is None:
+            color_arr = vbg.color
+        else:
+            color_arr = color_arr.at[C].set(0)
+    else:
+        tw, color_arr = _fuse_xla(vbg, rows, tsdf_new, wn, cnew, weight_max)
+
+    return dataclasses.replace(vbg, table=table, tw=tw, color=color_arr)
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +329,7 @@ def integrate(
 # ---------------------------------------------------------------------------
 
 
-def _sample_voxels(vbg: VoxelBlockGrid, voxel: jnp.ndarray, max_probes: int = 32):
+def _sample_voxels(vbg: VoxelBlockGrid, voxel: jnp.ndarray, max_probes: int = 8):
     """Nearest-voxel TSDF sample at integer voxel coords (..., 3).
     Returns (tsdf, weight) with weight 0 where the block is unallocated."""
     B = vbg.block_resolution
@@ -243,12 +338,11 @@ def _sample_voxels(vbg: VoxelBlockGrid, voxel: jnp.ndarray, max_probes: int = 32
     flat = local[..., 0] + local[..., 1] * B + local[..., 2] * B * B
     slot, found = hm.find(vbg.table, hm.pack_coords(block), max_probes)
     rows = jnp.where(found, slot, vbg.capacity)
-    ts = vbg.tsdf[rows, flat]
-    w = jnp.where(found, vbg.weight[rows, flat], 0.0)
-    return ts, w
+    ts, w = unpack_tw(vbg.tw[rows, flat])
+    return ts, jnp.where(found, w, 0.0)
 
 
-def _sample_tsdf_trilinear(vbg: VoxelBlockGrid, p: jnp.ndarray, max_probes: int = 32):
+def _sample_tsdf_trilinear(vbg: VoxelBlockGrid, p: jnp.ndarray, max_probes: int = 8):
     """Trilinearly interpolated TSDF at world positions p (..., 3)
     (ref: the in-kernel trilinear interp of VoxelBlockGridImpl.h raycast).
     Voxel v's sample point is at world v * voxel_size (corner convention,
@@ -275,19 +369,108 @@ def _sample_tsdf_trilinear(vbg: VoxelBlockGrid, p: jnp.ndarray, max_probes: int 
     return ts_acc / jnp.maximum(w_acc, 1e-6), w_acc
 
 
-def _sample_color(vbg: VoxelBlockGrid, voxel: jnp.ndarray, max_probes: int = 32):
+def _sample_color(vbg: VoxelBlockGrid, voxel: jnp.ndarray, max_probes: int = 8):
     B = vbg.block_resolution
     block = jnp.floor_divide(voxel, B)
     local = voxel - block * B
     flat = local[..., 0] + local[..., 1] * B + local[..., 2] * B * B
     slot, found = hm.find(vbg.table, hm.pack_coords(block), max_probes)
     rows = jnp.where(found, slot, vbg.capacity)
-    c = vbg.color[rows, flat]
+    c = unpack_rgb(vbg.color[rows, flat])
     return jnp.where(found[..., None], c, 0.0)
 
 
 # ---------------------------------------------------------------------------
-# Raycast
+# Raycast pass 1: per-tile block depth ranges (ref EstimateRange,
+# VoxelBlockGridImpl.h:307-560 — fragment rasterization with atomics becomes
+# a bounded-footprint scatter-min/max over a fixed tile grid here)
+# ---------------------------------------------------------------------------
+
+
+def estimate_range(
+    vbg: VoxelBlockGrid,
+    intrinsic: PinholeCameraIntrinsic,
+    extrinsic: jnp.ndarray,
+    depth_min: float,
+    depth_max: float,
+    tile: int = 16,
+    active_capacity: int = 16384,
+    max_tiles_per_block: int = 64,  # 8x8 tile footprint cap
+):
+    """Rasterize active blocks into per-(tile x tile)-pixel (z_min, z_max).
+
+    Blocks whose projected footprint exceeds the static cap (or that
+    straddle the camera plane) widen a GLOBAL fallback range applied to
+    every tile — conservative, never misses surface. Returns
+    (z_min (TH, TW), z_max (TH, TW)) with z_min > z_max meaning 'empty'."""
+    TH = -(-intrinsic.height // tile)
+    TW = -(-intrinsic.width // tile)
+    slots, count = hm.active_slots(vbg.table, active_capacity)
+    live = jnp.arange(active_capacity) < count
+    keys = vbg.table[jnp.maximum(slots, 0)]
+    coords = hm.unpack_coords(keys)  # (A, 3)
+
+    corners = _CORNER_OFFSETS.astype(jnp.float32) * vbg.block_size  # (8, 3)
+    pw = coords.astype(jnp.float32)[:, None, :] * vbg.block_size + corners
+    R = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    pc = pw @ R.T + t  # (A, 8, 3)
+    z = pc[..., 2]
+    zsafe = jnp.maximum(z, 1e-6)
+    u = pc[..., 0] / zsafe * intrinsic.fx + intrinsic.cx
+    v = pc[..., 1] / zsafe * intrinsic.fy + intrinsic.cy
+
+    front = jnp.all(z > 1e-4, axis=-1)  # fully in front
+    z0 = jnp.min(z, axis=-1)
+    z1 = jnp.max(z, axis=-1)
+    vis = live & (z1 > depth_min) & (z0 < depth_max)
+
+    tu0 = jnp.clip(jnp.floor(jnp.min(u, axis=-1) / tile), 0, TW - 1).astype(jnp.int32)
+    tu1 = jnp.clip(jnp.floor(jnp.max(u, axis=-1) / tile), 0, TW - 1).astype(jnp.int32)
+    tv0 = jnp.clip(jnp.floor(jnp.min(v, axis=-1) / tile), 0, TH - 1).astype(jnp.int32)
+    tv1 = jnp.clip(jnp.floor(jnp.max(v, axis=-1) / tile), 0, TH - 1).astype(jnp.int32)
+    # fully-offscreen blocks (rect clipped to empty): detect via raw bounds
+    on = (jnp.max(u, axis=-1) >= 0) & (jnp.min(u, axis=-1) < intrinsic.width) & (
+        jnp.max(v, axis=-1) >= 0
+    ) & (jnp.min(v, axis=-1) < intrinsic.height)
+    rw = tu1 - tu0 + 1
+    rh = tv1 - tv0 + 1
+    K = int(max_tiles_per_block)
+    KW = 8
+    fits = front & (rw * rh <= K) & (rw <= KW)
+    ok = vis & on & front & fits
+    # fallback: visible blocks that don't fit (huge footprint / behind-plane)
+    fb = vis & front & ~fits & on
+    fb_part = vis & live & ~front  # straddles camera plane: unknown footprint
+    any_fb = jnp.any(fb | fb_part)
+    g_zmin = jnp.where(
+        any_fb,
+        jnp.min(jnp.where(fb | fb_part, jnp.maximum(z0, depth_min), jnp.inf)),
+        jnp.inf,
+    )
+    g_zmax = jnp.where(
+        any_fb, jnp.max(jnp.where(fb | fb_part, jnp.minimum(z1, depth_max), -jnp.inf)), -jnp.inf
+    )
+
+    n_tiles = TH * TW
+    kk = jnp.arange(K, dtype=jnp.int32)
+    kx = kk % KW
+    ky = kk // KW
+    tx = tu0[:, None] + kx[None, :]
+    ty = tv0[:, None] + ky[None, :]
+    inside = ok[:, None] & (kx[None, :] < rw[:, None]) & (ky[None, :] < rh[:, None])
+    idx = jnp.where(inside, ty * TW + tx, n_tiles).reshape(-1)
+    z0b = jnp.broadcast_to(z0[:, None], tx.shape).reshape(-1)
+    z1b = jnp.broadcast_to(z1[:, None], tx.shape).reshape(-1)
+    zmin_t = jnp.full((n_tiles + 1,), jnp.inf, jnp.float32).at[idx].min(z0b)[:n_tiles]
+    zmax_t = jnp.full((n_tiles + 1,), -jnp.inf, jnp.float32).at[idx].max(z1b)[:n_tiles]
+    zmin_t = jnp.minimum(zmin_t, g_zmin)
+    zmax_t = jnp.maximum(zmax_t, g_zmax)
+    return zmin_t.reshape(TH, TW), zmax_t.reshape(TH, TW)
+
+
+# ---------------------------------------------------------------------------
+# Raycast pass 2: range-bounded sphere trace
 # ---------------------------------------------------------------------------
 
 
@@ -304,15 +487,19 @@ def raycast(
     extrinsic: jnp.ndarray,
     depth_min: float = 0.1,
     depth_max: float = 3.0,
-    max_steps: int = 192,
+    max_steps: int = 96,
     with_color: bool = True,
+    use_range_map: bool = True,
+    max_probes: int = 8,
 ) -> RaycastResult:
     """Render depth/vertex/color maps by sphere-tracing the TSDF
     (ref: VoxelBlockGrid::RayCast, .cpp:328-402; kernel Impl.h:564-1100).
 
-    March: unallocated space advances by 0.9*block_size, allocated space by
-    max(tsdf*trunc, voxel_size); a +→− sign change refines the hit with the
-    secant rule, like the reference's in-kernel interpolation.
+    Pass 1 (EstimateRange analog) bounds every ray to its tile's active-block
+    depth range; pass 2 marches: unallocated space advances by 0.5*block_size,
+    allocated space by max(0.75*tsdf*trunc, voxel_size); a +-to-- sign change
+    is refined by bisection on the trilinear TSDF + a final secant, like the
+    reference's in-kernel trilinear refinement.
     """
     H, W = intrinsic.height, intrinsic.width
     u = jnp.arange(W, dtype=jnp.float32)[None, :]
@@ -327,10 +514,21 @@ def raycast(
     inv_vs = 1.0 / vbg.voxel_size
     N = dirs.shape[0]
 
+    if use_range_map:
+        zmin_t, zmax_t = estimate_range(vbg, intrinsic, extrinsic, depth_min, depth_max)
+        tile = 16
+        tv = (jnp.arange(H) // tile)[:, None]
+        tu = (jnp.arange(W) // tile)[None, :]
+        z_start = jnp.maximum(zmin_t[tv, tu] - vbg.sdf_trunc, depth_min).reshape(-1)
+        z_end = jnp.minimum(zmax_t[tv, tu] + vbg.sdf_trunc, depth_max).reshape(-1)
+    else:
+        z_start = jnp.full((N,), depth_min, jnp.float32)
+        z_end = jnp.full((N,), depth_max, jnp.float32)
+
     def sample(z):
         p = origin + dirs * z[:, None]
         voxel = jnp.floor(p * inv_vs).astype(jnp.int32)
-        return _sample_voxels(vbg, voxel)
+        return _sample_voxels(vbg, voxel, max_probes)
 
     def cond(carry):
         z, prev_t, prev_z, z_lo, z_hi, done, it = carry
@@ -344,12 +542,11 @@ def raycast(
         crossing = alloc & (prev_t > 0) & (ts <= 0) & ~done
         z_lo = jnp.where(crossing, prev_z, z_lo)
         z_hi = jnp.where(crossing, z, z_hi)
-        done = done | crossing | (z > depth_max)
+        done = done | crossing | (z > z_end)
         # conservative marching: the projective TSDF over-estimates euclidean
-        # distance (tunnels at grazing incidence), so advance by half of it;
+        # distance (tunnels at grazing incidence), so advance by 3/4 of it;
         # unallocated space advances by half a block so a one-block-thick
-        # shell cannot be jumped over (the reference instead rasterizes
-        # per-tile block range maps, Impl.h:307 EstimateRange).
+        # shell cannot be jumped over.
         step = jnp.where(
             alloc,
             jnp.maximum(0.75 * ts * vbg.sdf_trunc, vbg.voxel_size),
@@ -360,14 +557,14 @@ def raycast(
         z = jnp.where(done, z, z + step)
         return z, prev_t, prev_z, z_lo, z_hi, done, it + 1
 
-    z0 = jnp.full((N,), depth_min, jnp.float32)
+    z0 = z_start
     init = (
         z0,
         jnp.ones((N,), jnp.float32),
         z0,
         jnp.zeros((N,), jnp.float32),
         jnp.zeros((N,), jnp.float32),
-        jnp.zeros((N,), bool),
+        z_start >= z_end,
         jnp.zeros((), jnp.int32),
     )
     _, _, _, z_lo, z_hi, _, _ = jax.lax.while_loop(cond, body, init)
@@ -375,17 +572,19 @@ def raycast(
     hit = z_hi > 0
     # sub-voxel refinement: bisection on the TRILINEAR tsdf inside the bracket
     # (the reference refines with trilinear interpolation in-kernel,
-    # VoxelBlockGridImpl.h:740-860); 6 rounds -> bracket/64 accuracy.
+    # VoxelBlockGridImpl.h:740-860); 3 rounds + secant.
     t_lo = jnp.ones((N,), jnp.float32)
     t_hi = -jnp.ones((N,), jnp.float32)
-    for _ in range(6):
+    for _ in range(4):
         zm = 0.5 * (z_lo + z_hi)
-        tm, wm = _sample_tsdf_trilinear(vbg, origin + dirs * zm[:, None])
-        neg = (tm <= 0) & (wm > 0.25)
+        tm, wm = _sample_tsdf_trilinear(vbg, origin + dirs * zm[:, None], max_probes)
+        known = wm > 0.25  # unknown samples must not move the bracket
+        neg = (tm <= 0) & known
+        pos = (tm > 0) & known
         z_hi = jnp.where(hit & neg, zm, z_hi)
         t_hi = jnp.where(hit & neg, tm, t_hi)
-        z_lo = jnp.where(hit & ~neg, zm, z_lo)
-        t_lo = jnp.where(hit & ~neg, tm, t_lo)
+        z_lo = jnp.where(hit & pos, zm, z_lo)
+        t_lo = jnp.where(hit & pos, tm, t_lo)
     # final secant inside the last bracket
     hit_z = z_lo + t_lo / jnp.maximum(t_lo - t_hi, 1e-6) * (z_hi - z_lo)
     hit_z = jnp.where(hit, hit_z, 0.0)
@@ -394,9 +593,9 @@ def raycast(
     depth_img = jnp.where(mask, hit_z, 0.0).reshape(H, W)
     p_hit = origin + dirs * hit_z[:, None]
     vertex = jnp.where(mask[:, None], p_hit, 0.0).reshape(H, W, 3)
-    if with_color and vbg.color.shape[1] > 0:
+    if with_color and vbg.has_color:
         voxel = jnp.floor(p_hit * inv_vs).astype(jnp.int32)
-        col = _sample_color(vbg, voxel)
+        col = _sample_color(vbg, voxel, max_probes)
         color_img = jnp.where(mask[:, None], col, 0.0).reshape(H, W, 3)
     else:
         color_img = jnp.zeros((H, W, 3), jnp.float32)
@@ -436,16 +635,13 @@ def extract_point_cloud(
         wrapped = jnp.where(inside[:, None], nxt, nxt - e * B)
         flat = wrapped[:, 0] + wrapped[:, 1] * B + wrapped[:, 2] * B * B
         own = jnp.arange(C)
-        t_in = vbg.tsdf[own[:, None], flat[None, :]]
-        w_in = vbg.weight[own[:, None], flat[None, :]]
-        t_out = vbg.tsdf[nb_rows[:, None], flat[None, :]]
-        w_out = vbg.weight[nb_rows[:, None], flat[None, :]]
+        t_in, w_in = unpack_tw(vbg.tw[own[:, None], flat[None, :]])
+        t_out, w_out = unpack_tw(vbg.tw[nb_rows[:, None], flat[None, :]])
         tn = jnp.where(inside[None, :], t_in, t_out)
         wn = jnp.where(inside[None, :], w_in, w_out)
         return tn, wn
 
-    t0 = vbg.tsdf[:C]
-    w0 = vbg.weight[:C]
+    t0, w0 = unpack_tw(vbg.tw[:C])
     points = []
     norms = []
     cols = []
@@ -473,8 +669,8 @@ def extract_point_cloud(
         points.append(p.reshape(-1, 3))
         norms.append(gnorm.reshape(-1, 3))
         masks.append(cross.reshape(-1))
-        if vbg.color.shape[1] > 0:
-            cols.append(vbg.color[:C].reshape(-1, 3))
+        if vbg.has_color:
+            cols.append(unpack_rgb(vbg.color[:C]).reshape(-1, 3))
 
     pts = jnp.concatenate(points, axis=0)
     nrm = jnp.concatenate(norms, axis=0)
@@ -570,7 +766,7 @@ def extract_triangle_mesh(
     occ = hm.occupied_mask(vbg.table)
     coords = hm.unpack_coords(vbg.table)  # (C, 3)
     local = _voxel_local_coords(B)  # (B3, 3)
-    has_color = vbg.color.shape[1] > 0
+    has_color = vbg.has_color
 
     G = int(block_chunk)
     n_chunks = -(-C // G)
@@ -582,12 +778,13 @@ def extract_triangle_mesh(
 
     # 8 neighbor-block rows per block: offset bit k set -> +1 in axis k
     nb_offsets = _CORNER_OFFSETS  # (8, 3) reuse: same bit layout
+
     def chunk_triangles(rows):
         """rows (G,) -> tri_verts (M, 3, 3), tri_col (M, 3, 3), valid (M,)"""
         blk_occ = jnp.where(rows < C, occ[jnp.minimum(rows, C - 1)], False)
         bco = coords[jnp.minimum(rows, C - 1)]  # (G, 3)
-        nb_keys = hm.pack_coords(bco[:, None, :] + nb_offsets[None, :, :])  # (G, 8)
-        nb_slot, nb_found = hm.find(vbg.table, nb_keys.reshape(-1))
+        nb_keys = hm.pack_coords(bco[:, None, :] + nb_offsets[None, :, :])  # (G, 8, 2)
+        nb_slot, nb_found = hm.find(vbg.table, nb_keys.reshape(-1, 2))
         nb_rows = jnp.where(nb_found, nb_slot, C).reshape(G, 8)
         nb_rows = nb_rows.at[:, 0].set(jnp.where(blk_occ, rows, C))
 
@@ -598,10 +795,9 @@ def extract_triangle_mesh(
         flat = wrapped[..., 0] + wrapped[..., 1] * B + wrapped[..., 2] * B * B  # (B3, 8)
         which = overflow[..., 0] + 2 * overflow[..., 1] + 4 * overflow[..., 2]  # (B3, 8)
         row_idx = nb_rows[:, which]  # (G, B3, 8)
-        tsdf_c = vbg.tsdf[row_idx, flat[None]]  # (G, B3, 8)
-        w_c = vbg.weight[row_idx, flat[None]]
+        tsdf_c, w_c = unpack_tw(vbg.tw[row_idx, flat[None]])  # (G, B3, 8)
         if has_color:
-            col_c = vbg.color[row_idx, flat[None]]  # (G, B3, 8, 3)
+            col_c = unpack_rgb(vbg.color[row_idx, flat[None]])  # (G, B3, 8, 3)
 
         corner_pos = (
             (bco[:, None, None, :] * B + nxt[None]).astype(jnp.float32) * vbg.voxel_size

@@ -154,8 +154,7 @@ def write_voxel_block_grid(path: str, vbg) -> None:
     np.savez_compressed(
         path,
         table=np.asarray(vbg.table),
-        tsdf=np.asarray(vbg.tsdf),
-        weight=np.asarray(vbg.weight),
+        tw=np.asarray(vbg.tw),
         color=np.asarray(vbg.color),
         voxel_size=np.float64(vbg.voxel_size),
         block_resolution=np.int64(vbg.block_resolution),
@@ -170,8 +169,7 @@ def read_voxel_block_grid(path: str):
     d = np.load(path)
     return VoxelBlockGrid(
         table=jnp.asarray(d["table"]),
-        tsdf=jnp.asarray(d["tsdf"]),
-        weight=jnp.asarray(d["weight"]),
+        tw=jnp.asarray(d["tw"]),
         color=jnp.asarray(d["color"]),
         voxel_size=float(d["voxel_size"]),
         block_resolution=int(d["block_resolution"]),

@@ -413,19 +413,25 @@ def sparse_conv(features, coords, weights, queries_coords=None):
         queries_coords = coords
     from open3d_tpu.core import hashmap as hm
 
-    packed = hm.pack_coords(coords)
-    order = jnp.argsort(packed)
-    sp = packed[order]
+    # coordinate hashmap at load factor <= 0.25: slot -> feature row
+    N = coords.shape[0]
+    cap = max(4 * N, 64)
+    table, slot, ok = hm.activate(
+        hm.make_table(cap), hm.pack_coords(coords), max_rounds=32
+    )
+    feat_by_slot = (
+        jnp.zeros((cap + 1, features.shape[1]), features.dtype)
+        .at[jnp.where(ok, slot, cap)]
+        .set(features)
+    )
     half = K // 2
     out = jnp.zeros((queries_coords.shape[0], cout), jnp.float32)
     for ox in range(-half, half + 1):
         for oy in range(-half, half + 1):
             for oz in range(-half, half + 1):
                 q = hm.pack_coords(queries_coords + jnp.array([ox, oy, oz], jnp.int32))
-                pos = jnp.searchsorted(sp, q)
-                pos = jnp.clip(pos, 0, sp.shape[0] - 1)
-                hit = sp[pos] == q
-                f = jnp.where(hit[:, None], features[order[pos]], 0.0)
+                qslot, hit = hm.find(table, q, max_probes=16)
+                f = feat_by_slot[jnp.where(hit, qslot, cap)]
                 w = weights[ox + half, oy + half, oz + half]  # (Cin,Cout)
                 out = out + f @ w
     return out

@@ -43,8 +43,8 @@ class SLAMConfig:
     depth_max: float = 3.0
     trunc_voxel_multiplier: float = 8.0
     odometry_method: str = odom.POINT_TO_PLANE
-    frame_block_capacity: int = 8192
-    raycast_max_steps: int = 160
+    frame_block_capacity: int = 2048
+    raycast_max_steps: int = 96
     with_color: bool = True
 
 

@@ -33,11 +33,19 @@ def subdivide_midpoint(mesh: TriangleMesh, number_of_iterations: int = 1) -> Tri
         # unique edges via sorted pairs
         e = jnp.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]], 0)  # (3T,2)
         e = jnp.sort(e, axis=1)
-        key = e[:, 0] * jnp.int32(V) + e[:, 1]
-        uniq, inv = jnp.unique(key, size=3 * T, fill_value=_INT_BIG, return_inverse=True)
-        inv = inv.reshape(-1)
-        mid_a = (uniq // V).astype(jnp.int32) % V
-        mid_b = (uniq % V).astype(jnp.int32)
+        # row-wise unique via one lexicographic lax.sort (no packed scalar
+        # key, so V > 46340 cannot overflow int32)
+        n3 = e.shape[0]
+        s0, s1, perm = jax.lax.sort(
+            (e[:, 0], e[:, 1], jnp.arange(n3, dtype=jnp.int32)), num_keys=2
+        )
+        first = jnp.concatenate(
+            [jnp.array([True]), (s0[1:] != s0[:-1]) | (s1[1:] != s1[:-1])]
+        )
+        gid = jnp.cumsum(first.astype(jnp.int32)) - 1  # group id per sorted row
+        inv = jnp.zeros((n3,), jnp.int32).at[perm].set(gid)
+        mid_a = jnp.zeros((n3,), jnp.int32).at[gid].set(s0)
+        mid_b = jnp.zeros((n3,), jnp.int32).at[gid].set(s1)
         mids = 0.5 * (v[jnp.clip(mid_a, 0, V - 1)] + v[jnp.clip(mid_b, 0, V - 1)])
         new_v = jnp.concatenate([v, mids], 0)  # (V + 3T, 3)
         m01 = V + inv[:T]
@@ -54,7 +62,7 @@ def subdivide_midpoint(mesh: TriangleMesh, number_of_iterations: int = 1) -> Tri
             0,
         ).astype(jnp.int32)
         vmask = jnp.concatenate(
-            [mesh.vertex_mask, (uniq < _INT_BIG)]
+            [mesh.vertex_mask, jnp.arange(n3) < jnp.sum(first.astype(jnp.int32))]
         )
         tmask = jnp.tile(mesh.triangle_mask, 4)
         mesh = TriangleMesh.create(new_v, new_t, vertex_mask=vmask, triangle_mask=tmask)

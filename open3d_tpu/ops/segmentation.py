@@ -115,6 +115,11 @@ def cluster_dbscan(
     Labels are compacted to 0..k-1 in ascending order of first occurrence
     position, matching the reference's deterministic ordering.
     """
+    # the kNN graph is capped at max_neighbors: min_points beyond the cap
+    # would make core detection impossible, so widen the cap to match (dense
+    # clusters with > max_neighbors eps-neighbors may still split vs. the
+    # reference's exact BFS; raise max_neighbors for exact parity there)
+    max_neighbors = max(int(max_neighbors), int(min_points))
     n = positions.shape[0]
     if mask is None:
         mask = jnp.ones((n,), bool)

@@ -111,7 +111,7 @@ class TransformationEstimationPointToPoint:
 
     with_scaling: bool = False
 
-    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid):
+    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None):
         q = tgt.positions[jnp.maximum(corr_idx, 0)]
         w = valid.astype(jnp.float32)
         return _weighted_umeyama(src_pos, q, w, self.with_scaling)
@@ -133,7 +133,7 @@ class TransformationEstimationPointToPlane:
 
     kernel: RobustKernel = RobustKernel()
 
-    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid):
+    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None):
         idx = jnp.maximum(corr_idx, 0)
         q = tgt.positions[idx]
         n = tgt.attrs["normals"][idx]
@@ -154,7 +154,7 @@ class TransformationEstimationForColoredICP:
     lambda_geometric: float = 0.968
     kernel: RobustKernel = RobustKernel()
 
-    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid):
+    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None):
         idx = jnp.maximum(corr_idx, 0)
         q = tgt.positions[idx]
         n = tgt.attrs["normals"][idx]
@@ -206,10 +206,16 @@ class TransformationEstimationForGeneralizedICP:
         )
         return jnp.einsum("...ij,...j,...kj->...ik", evecs, d, evecs)
 
-    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid):
+    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None):
         idx = jnp.maximum(corr_idx, 0)
         q = tgt.positions[idx]
         c_p = self._regularize(src_attrs["covariances"])
+        # rotate source covariances into the current frame: positions are
+        # already transformed by T, so C_p must follow (the reference's
+        # PointCloud::Transform rotates covariances_; M = C_q + R C_p R^T)
+        if T is not None:
+            R = T[:3, :3]
+            c_p = jnp.einsum("ij,njk,lk->nil", R, c_p, R)
         c_q = self._regularize(tgt.attrs["covariances"][idx])
         m = jnp.linalg.inv(c_q + c_p + 1e-6 * jnp.eye(3))  # (N,3,3)
         r = src_pos - q  # (N,3)
@@ -238,15 +244,17 @@ class TransformationEstimationForDopplerICP:
 
     Source attrs must carry "dopplers" (N,) m/s and "directions" (N,3) unit
     sensor->point rays; `period` is the scan period (s). The Doppler residual
-    couples the translational velocity v = t/period to the measured radial
-    speed: r_d = doppler - (-dᵀ v).
+    couples the ego velocity implied by the CURRENT accumulated transform to
+    the measured radial speed: with (ω, v) = se3_log(T)/period,
+    r_d = doppler + d·(ω × p + v)  — it vanishes at the true pose (the
+    reference evaluates the residual at the current state the same way).
     """
 
     period: float = 0.1
     lambda_doppler: float = 0.01
     kernel: RobustKernel = RobustKernel()
 
-    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid):
+    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None):
         idx = jnp.maximum(corr_idx, 0)
         q = tgt.positions[idx]
         n = tgt.attrs["normals"][idx]
@@ -257,7 +265,13 @@ class TransformationEstimationForDopplerICP:
         dop = src_attrs["dopplers"]
         # v_ego ~ (omega x p + t)/period; radial speed = -d . v_ego
         J_d = jnp.concatenate([jnp.cross(src_pos, d), d], axis=-1) / self.period
-        r_d = dop + jnp.sum(d * 0.0, -1)  # predicted at xi=0 is 0
+        if T is not None:
+            xi = lie.se3_log(T)  # (omega, v) of the accumulated transform
+            omega, v = xi[:3], xi[3:]
+            v_pt = jnp.cross(jnp.broadcast_to(omega, src_pos.shape), src_pos) + v
+            r_d = dop + jnp.sum(d * v_pt, axis=-1) / self.period
+        else:
+            r_d = dop
         sqrt_lg = jnp.sqrt(1.0 - self.lambda_doppler)
         sqrt_ld = jnp.sqrt(self.lambda_doppler)
         w = valid.astype(jnp.float32) * self.kernel.weight(r_g)
@@ -359,7 +373,7 @@ def icp(
         pos = jnp.where(src_mask[:, None], pos, src_pos0)
         idx, d2, valid = _correspondences(pos, src_mask, target, max_correspondence_distance)
         new_f, new_r = _fitness_rmse(src_mask, d2, valid)
-        update = estimation.compute(pos, src_attrs, target, idx, valid)
+        update = estimation.compute(pos, src_attrs, target, idx, valid, T)
         T_new = update @ T
         conv = (it > 0) & (jnp.abs(prev_f - new_f) < criteria.relative_fitness) & (
             jnp.abs(prev_r - new_r) < criteria.relative_rmse

@@ -170,7 +170,7 @@ class TestVBGCheckpoint:
         back = io.read_voxel_block_grid(p)
         assert back.voxel_size == vbg.voxel_size
         np.testing.assert_array_equal(np.asarray(back.table), np.asarray(vbg.table))
-        np.testing.assert_allclose(np.asarray(back.tsdf), np.asarray(vbg.tsdf))
+        np.testing.assert_array_equal(np.asarray(back.tw), np.asarray(vbg.tw))
 
 
 class TestNative:
