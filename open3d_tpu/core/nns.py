@@ -152,7 +152,18 @@ def hybrid_search(
 ):
     """Radius-capped k-NN (ref: NearestNeighborSearch::HybridSearch,
     NearestNeighborSearch.h:121). Returns (idx (N, k), dist2 (N, k),
-    counts (N,)) with idx=-1 / dist2=0 beyond the per-query count."""
+    counts (N,)) with idx=-1 / dist2=0 beyond the per-query count.
+
+    Targets >= 64k points route through the hash-grid 27-cell probe
+    (core/nns_grid.py — the FixedRadiusIndex analog) instead of the O(N*M)
+    MXU sweep; per-cell candidates are capped at 32 there (see module doc).
+    """
+    if target.shape[0] >= 65536:
+        from open3d_tpu.core import nns_grid
+
+        return nns_grid.hybrid_search_grid(
+            query, target, radius, max_knn, target_mask, max_per_cell=32
+        )
     if max_knn == 1:
         idx, d2 = one_nn_search(query, target, target_mask, **chunks)
         ok = d2 <= radius * radius

@@ -128,8 +128,34 @@ def multiway_gn_step(
     pose update runs replicated. Without `mesh`: same math single-device.
 
     Returns (new_poses (F,4,4), rmse scalar, n_inliers scalar).
+
+    Edge count and point count need NOT divide the mesh axes: edges are
+    padded with valid=False rows and the per-fragment point axis is padded
+    with masked-out points before sharding (the padding contributes zero to
+    every psum).
     """
     F = frag_pos.shape[0]
+
+    if mesh is not None:
+        ne = mesh.shape["edges"]
+        npts = mesh.shape["points"]
+        E = edges.shape[0]
+        if E % ne:
+            pad = ne - E % ne
+            edges = jnp.concatenate([edges, jnp.zeros((pad, 2), edges.dtype)])
+            edge_valid = jnp.concatenate([edge_valid, jnp.zeros((pad,), bool)])
+        N = frag_pos.shape[1]
+        if N % npts:
+            pad = npts - N % npts
+            frag_pos = jnp.concatenate(
+                [frag_pos, jnp.zeros((F, pad, 3), frag_pos.dtype)], axis=1
+            )
+            frag_nrm = jnp.concatenate(
+                [frag_nrm, jnp.zeros((F, pad, 3), frag_nrm.dtype)], axis=1
+            )
+            frag_mask = jnp.concatenate(
+                [frag_mask, jnp.zeros((F, pad), bool)], axis=1
+            )
 
     def edge_fn(e, ev, pos_chunk, nrm_chunk_unused, mask_chunk, tgt_pos, tgt_nrm, tgt_mask, poses):
         s, t = e[0], e[1]

@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from open3d_tpu.core import lie, linalg, nns
+from open3d_tpu.core import lie, linalg, nns, nns_grid
 from open3d_tpu.geometry.pointcloud import PointCloud
 from open3d_tpu.ops import pointcloud as pc_ops
 from open3d_tpu.pipelines.robust_kernels import RobustKernel
@@ -292,7 +292,27 @@ def _intensity(colors: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _correspondences(src_pos, src_mask, tgt: PointCloud, dmax: float):
+# Above this size the O(N*M) brute-force 1-NN loses to the hash-grid probe
+# (build = one lax.sort per call; query = 27 * max_per_cell candidates).
+_GRID_NNS_THRESHOLD = 32768
+
+
+def _make_corr_grid(tgt: PointCloud, dmax: float):
+    """Spatial-hash index over the target for radius-dmax correspondence
+    search, or None when brute force is the better kernel (small clouds)."""
+    if tgt.positions.shape[0] < _GRID_NNS_THRESHOLD:
+        return None
+    return nns_grid.build_grid(tgt.positions, float(dmax), mask=tgt.mask)
+
+
+def _correspondences(src_pos, src_mask, tgt: PointCloud, dmax: float, grid=None):
+    if grid is not None:
+        idx, d2, _ = nns_grid.query_grid(
+            grid, src_pos, dmax, 1, max_per_cell=32
+        )
+        idx, d2 = idx[:, 0], d2[:, 0]
+        valid = src_mask & (idx >= 0)
+        return jnp.where(valid, idx, -1), d2, valid
     idx, d2 = nns.one_nn_search(src_pos, tgt.positions, target_mask=tgt.mask)
     valid = src_mask & (idx >= 0) & (d2 <= dmax * dmax)
     return jnp.where(valid, idx, -1), d2, valid
@@ -362,6 +382,8 @@ def icp(
     src_pos0 = source.positions
     src_mask = source.mask
     src_attrs = source.attrs
+    # target is loop-invariant: build the hash grid ONCE outside the loop
+    grid = _make_corr_grid(target, max_correspondence_distance)
 
     def cond(carry):
         T, fitness, rmse, prev_f, prev_r, it, converged = carry
@@ -371,7 +393,9 @@ def icp(
         T, fitness, rmse, prev_f, prev_r, it, converged = carry
         pos = lie.transform_points(T, src_pos0)
         pos = jnp.where(src_mask[:, None], pos, src_pos0)
-        idx, d2, valid = _correspondences(pos, src_mask, target, max_correspondence_distance)
+        idx, d2, valid = _correspondences(
+            pos, src_mask, target, max_correspondence_distance, grid
+        )
         new_f, new_r = _fitness_rmse(src_mask, d2, valid)
         update = estimation.compute(pos, src_attrs, target, idx, valid, T)
         T_new = update @ T
@@ -392,7 +416,9 @@ def icp(
     T, fitness, rmse, _, _, it, _ = jax.lax.while_loop(cond, body, init_carry)
     # final metrics at the final pose
     pos = lie.transform_points(T, src_pos0)
-    _, d2, valid = _correspondences(pos, src_mask, target, max_correspondence_distance)
+    _, d2, valid = _correspondences(
+        pos, src_mask, target, max_correspondence_distance, grid
+    )
     fitness, rmse = _fitness_rmse(src_mask, d2, valid)
     return RegistrationResult(transformation=T, fitness=fitness, inlier_rmse=rmse, num_iterations=it)
 

@@ -1,0 +1,85 @@
+"""Property tests: hash-grid fixed-radius NNS vs the brute-force MXU path.
+
+Mirrors the reference's FixedRadiusIndex tests
+(cpp/tests/core/nns/FixedRadiusIndex.cpp) — build/query agreement on random
+clouds, masked targets, and the hybrid (radius-capped kNN) contract.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open3d_tpu.core import nns, nns_grid
+
+
+def _rand(n, seed, lo=-1.0, hi=1.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(lo, hi, (n, 3)).astype(np.float32))
+
+
+def _sets_match(gi, gd, gc, bi, bd, bc):
+    gi, gd, gc = map(np.asarray, (gi, gd, gc))
+    bi, bd, bc = map(np.asarray, (bi, bd, bc))
+    assert (gc == bc).all()
+    for i in range(gi.shape[0]):
+        a = np.sort(gd[i][: gc[i]])
+        b = np.sort(bd[i][: bc[i]])
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        # index sets must agree too (same points, order-free)
+        assert set(gi[i][: gc[i]].tolist()) == set(bi[i][: bc[i]].tolist())
+
+
+def test_grid_matches_bruteforce():
+    tgt = _rand(3000, 0)
+    q = _rand(700, 1)
+    r, k = 0.1, 8
+    g = nns_grid.hybrid_search_grid(q, tgt, r, k, max_per_cell=64)
+    b = nns.hybrid_search(q, tgt, r, k)
+    _sets_match(*g, *b)
+
+
+def test_grid_masked_targets():
+    tgt = _rand(2000, 2)
+    q = _rand(500, 3)
+    mask = jnp.asarray(np.random.default_rng(4).uniform(0, 1, 2000) > 0.4)
+    r, k = 0.12, 6
+    g = nns_grid.hybrid_search_grid(q, tgt, r, k, target_mask=mask, max_per_cell=64)
+    b = nns.hybrid_search(q, tgt, r, k, target_mask=mask)
+    _sets_match(*g, *b)
+
+
+def test_grid_queries_equal_targets():
+    # self-neighborhood (the normals-estimation pattern): every point finds
+    # itself at distance 0
+    pts = _rand(1500, 5)
+    gi, gd, gc = nns_grid.hybrid_search_grid(pts, pts, 0.05, 4, max_per_cell=64)
+    gi, gd, gc = map(np.asarray, (gi, gd, gc))
+    assert (gc >= 1).all()
+    assert (gi[:, 0] == np.arange(1500)).all()
+    np.testing.assert_allclose(gd[:, 0], 0.0, atol=1e-7)
+
+
+def test_grid_radius_exceeds_cell_raises():
+    pts = _rand(100, 6)
+    grid = nns_grid.build_grid(pts, cell_size=0.05)
+    with pytest.raises(ValueError):
+        nns_grid.query_grid(grid, pts, radius=0.2, max_nn=4)
+
+
+def test_grid_reusable_index():
+    # build once, query twice (the ICP pattern)
+    tgt = _rand(2500, 7)
+    grid = nns_grid.build_grid(tgt, cell_size=0.1)
+    for seed in (8, 9):
+        q = _rand(400, seed)
+        gi, gd, gc = nns_grid.query_grid(grid, q, 0.1, 5, max_per_cell=64)
+        bi, bd, bc = nns.hybrid_search(q, tgt, 0.1, 5)
+        _sets_match(gi, gd, gc, bi, bd, bc)
+
+
+def test_grid_dense_cell_cap_is_deterministic():
+    # 200 coincident points in one cell with max_per_cell=8: the cap keeps
+    # the first 8 sorted entries — count saturates at min(k, cap)
+    pts = jnp.zeros((200, 3), jnp.float32)
+    gi, gd, gc = nns_grid.hybrid_search_grid(pts[:5], pts, 0.1, 16, max_per_cell=8)
+    assert (np.asarray(gc) == 8).all()
