@@ -11,3 +11,8 @@ from open3d_tpu.geometry.rgbd import (  # noqa: F401
     project_to_rgbd,
 )
 from open3d_tpu.geometry import image  # noqa: F401
+from open3d_tpu.geometry.bounding_volume import (  # noqa: F401
+    AxisAlignedBoundingBox,
+    OrientedBoundingBox,
+)
+from open3d_tpu.geometry.lineset import LineSet  # noqa: F401
