@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from open3d_tpu.geometry.trianglemesh import TriangleMesh
 
@@ -170,3 +171,241 @@ def filter_smooth_taubin(
         mesh = filter_smooth_laplacian(mesh, 1, lambda_filter)
         mesh = filter_smooth_laplacian(mesh, 1, mu)
     return mesh
+
+
+# ---------------------------------------------------------------------------
+# Selection / cleanup
+# ---------------------------------------------------------------------------
+
+
+def select_by_mask(mesh: TriangleMesh, vertex_mask: jnp.ndarray) -> TriangleMesh:
+    """Keep the masked vertices and every triangle whose 3 vertices survive
+    (ref: TriangleMesh::SelectByIndex, t/geometry/TriangleMesh.cpp — the
+    boolean-mask formulation of the index list; shapes stay static)."""
+    keep_v = mesh.vertex_mask & vertex_mask
+    t = jnp.maximum(mesh.triangles, 0)
+    keep_t = mesh.triangle_mask & keep_v[t[:, 0]] & keep_v[t[:, 1]] & keep_v[t[:, 2]]
+    return TriangleMesh.create(
+        mesh.vertices, mesh.triangles, vertex_mask=keep_v, triangle_mask=keep_t
+    )
+
+
+def select_by_index(mesh: TriangleMesh, indices) -> TriangleMesh:
+    """(ref: TriangleMesh::SelectByIndex) — index-list wrapper."""
+    vm = jnp.zeros((mesh.vertices.shape[0],), bool).at[jnp.asarray(indices)].set(True)
+    return select_by_mask(mesh, vm)
+
+
+def remove_degenerate_triangles(mesh: TriangleMesh) -> TriangleMesh:
+    """Mask out triangles with repeated vertex ids or ~zero area
+    (ref: TriangleMesh::RemoveDegenerateTriangles)."""
+    t = jnp.maximum(mesh.triangles, 0)
+    distinct = (t[:, 0] != t[:, 1]) & (t[:, 1] != t[:, 2]) & (t[:, 0] != t[:, 2])
+    a = mesh.vertices[t[:, 0]]
+    b = mesh.vertices[t[:, 1]]
+    c = mesh.vertices[t[:, 2]]
+    area2 = jnp.linalg.norm(jnp.cross(b - a, c - a), axis=-1)
+    ok = mesh.triangle_mask & distinct & (area2 > 1e-14)
+    return TriangleMesh.create(
+        mesh.vertices, mesh.triangles, vertex_mask=mesh.vertex_mask, triangle_mask=ok
+    )
+
+
+def remove_unreferenced_vertices(mesh: TriangleMesh) -> TriangleMesh:
+    """(ref: TriangleMesh::RemoveUnreferencedVertices)"""
+    t = jnp.maximum(mesh.triangles, 0)
+    V = mesh.vertices.shape[0]
+    used = (
+        jnp.zeros((V,), bool)
+        .at[jnp.where(mesh.triangle_mask[:, None], t, 0)]
+        .set(True)
+    )
+    # vertex 0 may be incorrectly marked by masked-out scatter rows
+    used = used.at[0].set(
+        jnp.any(mesh.triangle_mask & jnp.any(t == 0, axis=1))
+    )
+    return TriangleMesh.create(
+        mesh.vertices,
+        mesh.triangles,
+        vertex_mask=mesh.vertex_mask & used,
+        triangle_mask=mesh.triangle_mask,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quadric-error decimation
+# ---------------------------------------------------------------------------
+
+
+def simplify_quadric_decimation(
+    mesh: TriangleMesh,
+    target_number_of_triangles: int,
+    max_rounds: int = 24,
+) -> TriangleMesh:
+    """Quadric-error-metric mesh simplification
+    (ref: TriangleMesh::SimplifyQuadricDecimation,
+    geometry/TriangleMeshSimplification.cpp — Garland-Heckbert).
+
+    TPU design: instead of the reference's sequential min-heap of edge
+    collapses, each round collapses a maximal INDEPENDENT SET of low-cost
+    edges simultaneously: per-vertex quadrics are scatter-added from face
+    plane quadrics, every live edge is scored with its midpoint quadric
+    error, each vertex gives itself to its cheapest incident edge
+    (scatter-min claim), and edges winning BOTH endpoints collapse in one
+    vectorized pass. Rounds are gated so the triangle count converges onto
+    the target from above.
+    """
+    v = mesh.vertices
+    t = jnp.maximum(mesh.triangles, 0)
+    V = v.shape[0]
+    vmask = mesh.vertex_mask
+    tmask = mesh.triangle_mask
+    target = jnp.int32(target_number_of_triangles)
+
+    def one_round(v, vmask, tmask, t):
+        n_live = jnp.sum(tmask.astype(jnp.int32))
+        active = n_live > target
+
+        a, b, c = v[t[:, 0]], v[t[:, 1]], v[t[:, 2]]
+        n = jnp.cross(b - a, c - a)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        d = -jnp.sum(n * a, axis=-1)
+        plane = jnp.concatenate([n, d[:, None]], axis=-1)  # (T, 4)
+        K = plane[:, :, None] * plane[:, None, :]  # (T, 4, 4)
+        K = jnp.where(tmask[:, None, None], K, 0.0)
+        Q = jnp.zeros((V, 4, 4), jnp.float32)
+        for k in range(3):
+            Q = Q.at[t[:, k]].add(K)
+
+        # candidate edges (3T, 2), sorted ids; only live-triangle edges
+        e = jnp.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]], 0)
+        e = jnp.sort(e, axis=1)
+        e_live = jnp.tile(tmask, 3) & (e[:, 0] != e[:, 1])
+        vbar = 0.5 * (v[e[:, 0]] + v[e[:, 1]])
+        vb4 = jnp.concatenate([vbar, jnp.ones((e.shape[0], 1))], axis=-1)
+        Qe = Q[e[:, 0]] + Q[e[:, 1]]
+        cost = jnp.einsum("ni,nij,nj->n", vb4, Qe, vb4)
+        cost = jnp.where(e_live, cost, jnp.inf)
+
+        # claim: each endpoint points at its cheapest incident edge (rank
+        # of the edge in ascending-cost order breaks ties deterministically)
+        n3 = e.shape[0]
+        order = jnp.argsort(cost)
+        rank = jnp.zeros((n3,), jnp.int32).at[order].set(
+            jnp.arange(n3, dtype=jnp.int32)
+        )
+        BIG = jnp.int32(2**30)
+        rank = jnp.where(e_live, rank, BIG)
+        claim = jnp.full((V,), BIG, jnp.int32)
+        claim = claim.at[e[:, 0]].min(rank)
+        claim = claim.at[e[:, 1]].min(rank)
+        win = active & e_live & (claim[e[:, 0]] == rank) & (claim[e[:, 1]] == rank)
+        # cap winners so the count never undershoots the target badly:
+        # each collapse removes ~2 triangles
+        quota = jnp.maximum((n_live - target) // 2, 1)
+        nwin_before = jnp.cumsum(win.astype(jnp.int32)) - win.astype(jnp.int32)
+        win = win & (nwin_before < quota)
+
+        # collapse: b -> a, a moves to the quadric midpoint
+        parent = jnp.arange(V, dtype=jnp.int32)
+        parent = parent.at[jnp.where(win, e[:, 1], V)].set(e[:, 0], mode="drop")
+        v = v.at[jnp.where(win, e[:, 0], V)].set(vbar, mode="drop")
+        gone = jnp.zeros((V,), bool).at[jnp.where(win, e[:, 1], V)].set(
+            True, mode="drop"
+        )
+        vmask = vmask & ~gone
+        t = parent[t]
+        degen = (t[:, 0] == t[:, 1]) | (t[:, 1] == t[:, 2]) | (t[:, 0] == t[:, 2])
+        tmask = tmask & ~degen
+        return v, vmask, tmask, t
+
+    for _ in range(max_rounds):
+        v, vmask, tmask, t = one_round(v, vmask, tmask, t)
+    return TriangleMesh.create(v, t, vertex_mask=vmask, triangle_mask=tmask)
+
+
+# ---------------------------------------------------------------------------
+# Hole filling
+# ---------------------------------------------------------------------------
+
+
+def fill_holes(mesh: TriangleMesh, hole_size: int = 128) -> TriangleMesh:
+    """Close boundary loops with triangle fans
+    (ref: t/geometry/TriangleMesh::FillHoles, TriangleMesh.cpp:97+).
+
+    TPU design: boundary DIRECTED edges are found by counting undirected
+    occurrences with one sort; each boundary vertex's successor builds a
+    permutation that is collapsed by pointer doubling (log2 rounds) to a
+    per-loop representative (min vertex id); every boundary edge then fans
+    to its loop representative in a single vectorized emission. Loops
+    longer than `hole_size` are left open, matching the reference's size
+    cutoff.
+    """
+    v = mesh.vertices
+    t = jnp.maximum(mesh.triangles, 0)
+    V, T = v.shape[0], t.shape[0]
+    tmask = mesh.triangle_mask
+
+    # directed edges of live triangles, in winding order
+    de = jnp.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]], 0)  # (3T,2)
+    dlive = jnp.tile(tmask, 3)
+    ue = jnp.sort(de, axis=1)
+    key0 = jnp.where(dlive, ue[:, 0], jnp.int32(2**30))
+    key1 = jnp.where(dlive, ue[:, 1], jnp.int32(2**30))
+    s0, s1 = jax.lax.sort((key0, key1), num_keys=2)
+    same_prev = jnp.concatenate(
+        [jnp.array([False]), (s0[1:] == s0[:-1]) & (s1[1:] == s1[:-1])]
+    )
+    same_next = jnp.concatenate([same_prev[1:], jnp.array([False])])
+    # occurrence count per sorted row: boundary = appears exactly once
+    single_sorted = ~same_prev & ~same_next
+    # map back: find each live edge's rank in the sorted order
+    n3 = de.shape[0]
+    _, _, perm = jax.lax.sort(
+        (key0, key1, jnp.arange(n3, dtype=jnp.int32)), num_keys=2
+    )
+    single = jnp.zeros((n3,), bool).at[perm].set(single_sorted)
+    bnd = dlive & single  # boundary DIRECTED edges (hole is to their left)
+
+    # successor permutation over boundary vertices: next[a] = b
+    nxt = jnp.full((V,), -1, jnp.int32)
+    nxt = nxt.at[jnp.where(bnd, de[:, 0], V)].set(
+        jnp.where(bnd, de[:, 1], -1), mode="drop"
+    )
+    is_bnd_v = nxt >= 0
+
+    # pointer doubling: representative = min vertex id on the loop; also
+    # count loop length (capped at 2^rounds)
+    rounds = max(int(np.ceil(np.log2(max(hole_size, 2)))) + 1, 4)
+    rep = jnp.where(is_bnd_v, jnp.arange(V, dtype=jnp.int32), jnp.int32(2**30))
+    hop = jnp.where(is_bnd_v, nxt, jnp.arange(V, dtype=jnp.int32))
+    length = jnp.where(is_bnd_v, 1, 0)
+    for _ in range(rounds):
+        rep = jnp.minimum(rep, rep[hop])
+        length = length + jnp.where(is_bnd_v, length[hop], 0)
+        length = jnp.minimum(length, 2 * hole_size)  # avoid overflow
+        hop = hop[hop]
+    # length now >= true loop length for loops shorter than 2^rounds; use a
+    # second exact pass: loop length = number of boundary verts sharing rep
+    cnt = jnp.zeros((V + 1,), jnp.int32).at[
+        jnp.where(is_bnd_v, jnp.minimum(rep, V), V)
+    ].add(1)
+    loop_len = jnp.where(is_bnd_v, cnt[jnp.minimum(rep, V)], 0)
+
+    # fan: boundary edge (a -> b) fans to triangle (b, a, r) — reversed so
+    # the new face's winding opposes the boundary edge (outward-consistent)
+    r = rep[jnp.where(bnd, de[:, 0], 0)]
+    a_, b_ = de[:, 0], de[:, 1]
+    emit = (
+        bnd
+        & (r != a_)
+        & (r != b_)
+        & (loop_len[jnp.where(bnd, a_, 0)] <= hole_size)
+        & (r < jnp.int32(2**30))
+    )
+    new_t = jnp.stack([b_, a_, r], axis=-1)
+    tris = jnp.concatenate([mesh.triangles, jnp.where(emit[:, None], new_t, 0)], 0)
+    tm = jnp.concatenate([tmask, emit])
+    return TriangleMesh.create(
+        v, tris, vertex_mask=mesh.vertex_mask, triangle_mask=tm
+    )

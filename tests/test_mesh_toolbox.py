@@ -1,0 +1,146 @@
+"""Quadric decimation / selection / cleanup / hole filling tests.
+
+Mirrors reference coverage: cpp/tests/geometry/TriangleMesh.cpp
+(SimplifyQuadricDecimation, SelectByIndex, RemoveDegenerateTriangles) and
+t/geometry FillHoles behavior.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from open3d_tpu.geometry.trianglemesh import TriangleMesh
+from open3d_tpu.ops import mesh as mo
+
+
+def _icosphere(subdiv=3, radius=1.0):
+    """Host-built icosphere (test fixture only)."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        np.float64,
+    )
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.int64,
+    )
+    for _ in range(subdiv):
+        cache = {}
+        new_faces = []
+        verts = list(map(np.asarray, verts))
+
+        def mid(i, j):
+            k = (min(i, j), max(i, j))
+            if k not in cache:
+                cache[k] = len(verts)
+                verts.append((verts[i] + verts[j]) / 2.0)
+            return cache[k]
+
+        for a, b, c in faces:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        faces = np.asarray(new_faces, np.int64)
+        verts = np.stack(verts)
+    verts = verts / np.linalg.norm(verts, axis=1, keepdims=True) * radius
+    return TriangleMesh.create(verts.astype(np.float32), faces.astype(np.int32))
+
+
+def test_quadric_decimation_sphere():
+    mesh = _icosphere(3)  # 1280 triangles
+    n0 = int(mesh.num_triangles())
+    out = mo.simplify_quadric_decimation(mesh, n0 // 4)
+    n1 = int(out.num_triangles())
+    assert n0 // 4 <= n1 <= int(n0 * 0.45), n1  # converged near the target
+    # surface stays on the unit sphere
+    vm = np.asarray(out.vertex_mask)
+    r = np.linalg.norm(np.asarray(out.vertices)[vm], axis=1)
+    assert np.abs(r - 1.0).max() < 0.05
+    # all live triangles reference live vertices
+    t = np.asarray(out.triangles)[np.asarray(out.triangle_mask)]
+    assert vm[t].all()
+
+
+def test_quadric_decimation_preserves_planes():
+    # a flat grid decimates with ~zero geometric error
+    n = 12
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    verts = np.stack([xs.ravel(), ys.ravel(), np.zeros(n * n)], -1).astype(np.float32)
+    tris = []
+    for y in range(n - 1):
+        for x in range(n - 1):
+            i = y * n + x
+            tris += [[i, i + 1, i + n], [i + 1, i + n + 1, i + n]]
+    mesh = TriangleMesh.create(verts, np.asarray(tris, np.int32))
+    out = mo.simplify_quadric_decimation(mesh, 60)
+    vm = np.asarray(out.vertex_mask)
+    assert np.abs(np.asarray(out.vertices)[vm][:, 2]).max() < 1e-4
+    assert int(out.num_triangles()) <= 130
+
+
+def test_select_by_index_and_mask():
+    mesh = _icosphere(1)
+    V = mesh.vertices.shape[0]
+    # keep the +z hemisphere
+    keep = np.asarray(mesh.vertices)[:, 2] > 0
+    out = mo.select_by_mask(mesh, jnp.asarray(keep))
+    t = np.asarray(out.triangles)[np.asarray(out.triangle_mask)]
+    assert keep[t].all()
+    assert 0 < int(out.num_triangles()) < int(mesh.num_triangles())
+    out2 = mo.select_by_index(mesh, np.nonzero(keep)[0])
+    assert int(out2.num_triangles()) == int(out.num_triangles())
+
+
+def test_remove_degenerate_and_unreferenced():
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [5, 5, 5]], np.float32
+    )  # vertex 3 unreferenced
+    tris = np.array([[0, 1, 2], [0, 0, 1], [1, 1, 1]], np.int32)
+    mesh = TriangleMesh.create(verts, tris)
+    out = mo.remove_degenerate_triangles(mesh)
+    assert int(out.num_triangles()) == 1
+    out = mo.remove_unreferenced_vertices(out)
+    assert int(out.num_vertices()) == 3
+    assert not bool(out.vertex_mask[3])
+
+
+def _boundary_edge_count(mesh):
+    t = np.asarray(mesh.triangles)[np.asarray(mesh.triangle_mask)]
+    e = np.sort(np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]]), axis=1)
+    uniq, cnt = np.unique(e, axis=0, return_counts=True)
+    return int((cnt == 1).sum())
+
+
+def test_fill_holes_closes_cap():
+    mesh = _icosphere(2)
+    # cut a cap: drop triangles whose centroid z > 0.8
+    t = np.asarray(mesh.triangles)
+    cz = np.asarray(mesh.vertices)[t].mean(1)[:, 2]
+    tmask = jnp.asarray(cz <= 0.8)
+    holed = TriangleMesh.create(
+        mesh.vertices, mesh.triangles, vertex_mask=mesh.vertex_mask,
+        triangle_mask=tmask,
+    )
+    nb = _boundary_edge_count(holed)
+    assert nb > 3  # the cut produced a boundary loop
+    filled = mo.fill_holes(holed)
+    assert _boundary_edge_count(filled) == 0
+    assert int(filled.num_triangles()) > int(holed.num_triangles())
+
+
+def test_fill_holes_respects_size_cutoff():
+    mesh = _icosphere(2)
+    t = np.asarray(mesh.triangles)
+    cz = np.asarray(mesh.vertices)[t].mean(1)[:, 2]
+    holed = TriangleMesh.create(
+        mesh.vertices, mesh.triangles, triangle_mask=jnp.asarray(cz <= 0.8)
+    )
+    filled = mo.fill_holes(holed, hole_size=3)  # loop is longer than 3
+    assert _boundary_edge_count(filled) == _boundary_edge_count(holed)
