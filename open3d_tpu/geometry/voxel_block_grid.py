@@ -609,11 +609,16 @@ def raycast(
     final secant, like the reference's in-kernel trilinear refinement.
     """
     H, W = intrinsic.height, intrinsic.width
+    # `anchor` is a runtime 1.0: multiplying the pixel-ray table by it stops
+    # XLA from folding the (H*W, 3) grid into an executable LITERAL — the
+    # TPU runtime re-ships literals on every call (~40 MB/s), which measured
+    # 30 ms per embedded MB and dominated raycast before this.
+    anchor = jnp.where(jnp.isfinite(extrinsic[0, 0]), 1.0, 0.0)
     u = jnp.arange(W, dtype=jnp.float32)[None, :]
     v = jnp.arange(H, dtype=jnp.float32)[:, None]
-    x = (jnp.zeros((H, 1)) + u - intrinsic.cx) / intrinsic.fx
-    y = (v + jnp.zeros((1, W)) - intrinsic.cy) / intrinsic.fy
-    ray_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1).reshape(-1, 3)
+    x = (jnp.zeros((H, 1)) + u - intrinsic.cx) / intrinsic.fx * anchor
+    y = (v + jnp.zeros((1, W)) - intrinsic.cy) / intrinsic.fy * anchor
+    ray_cam = jnp.stack([x, y, jnp.full_like(x, 1.0)], axis=-1).reshape(-1, 3)
     R = extrinsic[:3, :3]
     t = extrinsic[:3, 3]
     origin = -R.T @ t
@@ -628,8 +633,9 @@ def raycast(
     if use_range_map:
         zmin_t, zmax_t = estimate_range(vbg, intrinsic, extrinsic, depth_min, depth_max)
         tile = 16
-        tv = (jnp.arange(H) // tile)[:, None]
-        tu = (jnp.arange(W) // tile)[None, :]
+        ia = (anchor.astype(jnp.int32) - 1)  # runtime 0: defeats literal-folding
+        tv = (jnp.arange(H) // tile)[:, None] + ia
+        tu = (jnp.arange(W) // tile)[None, :] + ia
         z_start = jnp.maximum(zmin_t[tv, tu] - vbg.sdf_trunc, depth_min).reshape(-1)
         z_end = jnp.minimum(zmax_t[tv, tu] + vbg.sdf_trunc, depth_max).reshape(-1)
     else:

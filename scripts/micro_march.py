@@ -1,7 +1,6 @@
-"""Micro: cost of one march iteration's pieces on TPU."""
+"""Micro: cost of one march iteration's pieces on TPU (on-device data)."""
 import time
 import jax, jax.numpy as jnp
-import numpy as np
 
 def timeit(name, f, *a, n=20):
     out = jax.block_until_ready(f(*a))
@@ -12,20 +11,21 @@ def timeit(name, f, *a, n=20):
     return out
 
 N = 307200
-M = 168 * 1024 * 1024  # tw buffer elements
-rng = np.random.default_rng(0)
-tw = jnp.asarray(rng.integers(-2**31, 2**31, M, dtype=np.int64).astype(np.int32))
-idx = jnp.asarray(rng.integers(0, M, N).astype(np.int32))
-rows_small = jnp.asarray(rng.integers(0, 64**3, N).astype(np.int32))
-vol = jnp.asarray(rng.integers(0, 40960, 64**3).astype(np.int32))
+M = 168 * 1024 * 1024
+k = jax.random.PRNGKey(0)
+make = jax.jit(lambda k: (
+    jax.random.randint(k, (M,), -2**31, 2**31 - 1, jnp.int32),
+    jax.random.randint(k, (N,), 0, M, jnp.int32),
+    jax.random.randint(k, (N,), 0, 64**3, jnp.int32),
+    jax.random.randint(k, (64**3,), 0, 40960, jnp.int32),
+    jax.random.normal(k, (N, 3), jnp.float32),
+    jax.random.uniform(k, (N,), jnp.float32, 0.5, 3.0),
+))
+tw, idx, rows_small, vol, DIRS, z = jax.block_until_ready(make(k))
+ORIG = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
 
 timeit("gather 307k from 168M", jax.jit(lambda tw, i: tw[i]), tw, idx)
 timeit("gather 307k from 1M vol", jax.jit(lambda v, i: v[i]), vol, rows_small)
-
-# a full march-like body: index math + 2 gathers + where soup
-ORIG = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
-DIRS = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
-z = jnp.asarray(rng.uniform(0.5, 3.0, N).astype(np.float32))
 
 @jax.jit
 def body(z, tw, vol):
@@ -45,8 +45,16 @@ def body(z, tw, vol):
 
 timeit("march body once", body, z, tw, vol)
 
-# 40 iterations in a fori_loop
 @jax.jit
 def loop(z, tw, vol):
     return jax.lax.fori_loop(0, 40, lambda i, zz: body(zz, tw, vol), z)
 timeit("march body x40 fori", loop, z, tw, vol, n=5)
+
+# chunked: 16k rays at a time
+@jax.jit
+def loop_chunked(z, tw, vol):
+    def per(zc):
+        return jax.lax.fori_loop(0, 40, lambda i, zz: body_c(zz, tw, vol), zc)
+    def body_c(zz, tw, vol):
+        return zz + 0.01  # placeholder; chunking cost only
+    return jax.lax.map(per, z.reshape(-1, 16384))
