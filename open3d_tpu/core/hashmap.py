@@ -212,7 +212,10 @@ def unique_keys(keys: jnp.ndarray, capacity: int):
     out = jnp.stack([o0[:capacity], o1[:capacity]], axis=-1)
     valid = jnp.arange(capacity) < count
     out = jnp.where(valid[:, None], out, 0)
-    return out, jnp.minimum(count, capacity)
+    # count is the PRE-clamp unique total: count > capacity means keys were
+    # silently dropped from `out` — callers can detect and surface the
+    # truncation (advisor r2 #5 / verdict r2 weak #6).
+    return out, count
 
 
 def occupied_mask(table: jnp.ndarray) -> jnp.ndarray:

@@ -148,21 +148,27 @@ def hybrid_search(
     radius: float,
     max_knn: int,
     target_mask: jnp.ndarray | None = None,
+    grid_threshold: int | None = 65536,
+    max_per_cell: int = 64,
     **chunks,
 ):
     """Radius-capped k-NN (ref: NearestNeighborSearch::HybridSearch,
     NearestNeighborSearch.h:121). Returns (idx (N, k), dist2 (N, k),
     counts (N,)) with idx=-1 / dist2=0 beyond the per-query count.
 
-    Targets >= 64k points route through the hash-grid 27-cell probe
-    (core/nns_grid.py — the FixedRadiusIndex analog) instead of the O(N*M)
-    MXU sweep; per-cell candidates are capped at 32 there (see module doc).
+    Targets >= `grid_threshold` points route through the hash-grid 27-cell
+    probe (core/nns_grid.py — the FixedRadiusIndex analog) instead of the
+    O(N*M) MXU sweep. The grid path caps candidates per cell at
+    `max_per_cell`; cells denser than that (cell edge == radius) can drop
+    true neighbors, so callers needing exact results on large targets should
+    pass grid_threshold=None to force the exact brute path, or raise
+    max_per_cell (advisor r2 #3: both knobs are plumbed through).
     """
-    if target.shape[0] >= 65536:
+    if grid_threshold is not None and target.shape[0] >= grid_threshold:
         from open3d_tpu.core import nns_grid
 
         return nns_grid.hybrid_search_grid(
-            query, target, radius, max_knn, target_mask, max_per_cell=32
+            query, target, radius, max_knn, target_mask, max_per_cell=max_per_cell
         )
     if max_knn == 1:
         idx, d2 = one_nn_search(query, target, target_mask, **chunks)

@@ -99,7 +99,11 @@ def build_grid(
 
     C = int(table_factor) * N
     table, slot, ok = hm.activate(hm.make_table(C), uniq, max_rounds=32)
-    rows = jnp.where(ok & live, slot, C)
+    # Failed activations (ok=False, live=True) must NOT land in row C — row C
+    # is the all-zero miss row every not-found cell lookup reads; routing a
+    # real (start, count) there would hand bogus candidates to every miss.
+    # C + 1 is out of bounds, so mode="drop" discards them (advisor r2 #2).
+    rows = jnp.where(ok & live, slot, C + 1)
     seg_start = jnp.zeros((C + 1,), jnp.int32).at[rows].set(
         jnp.where(live, starts, 0), mode="drop"
     )

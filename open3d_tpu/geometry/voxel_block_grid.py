@@ -286,24 +286,80 @@ def integrate(
     depth_scale: float = 1.0,
     weight_max: float = 10000.0,
     use_pallas: Optional[bool] = None,
+    fallback_capacity: int = 48,
 ) -> VoxelBlockGrid:
     """Fuse one depth (+color) frame (ref: VoxelBlockGrid::Integrate,
     .cpp:292-326; per-voxel kernel VoxelBlockGridImpl.h:153-304).
 
     depth must be metric float32 (pass raw/depth_scale yourself or use
     depth_scale); extrinsic is world->camera. Jit with the grid donated.
+
+    On TPU the sampling + fuse is one Pallas kernel (per-block image-rect
+    slab DMA + one-hot MXU sampling + in-place row update — XLA's scalar
+    gathers run at ~130M/s and would cost ~60 ms/frame); blocks whose
+    footprint exceeds the slab window (closer than ~0.4 m) fall back to the
+    XLA gather path, capped at `fallback_capacity` per frame.
     """
     C = vbg.capacity
 
     table, slot, ok = hm.activate(vbg.table, block_keys)
     rows = jnp.where(ok, slot, C)  # failed/invalid blocks -> dump row
 
-    tsdf_new, wn, cnew = _new_voxel_values(
-        vbg, block_keys, depth, color, intrinsic, extrinsic, depth_max, depth_scale, ok
-    )
-
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+
+    if depth_scale != 1.0:
+        depth = depth / depth_scale
+    vbg = dataclasses.replace(vbg, table=table)
+
+    if use_pallas and vbg.block_resolution == 16:
+        from open3d_tpu.ops.pallas import integrate as pint
+
+        coords = hm.unpack_coords(block_keys)
+        v0, u0, fit = pint.block_slab_fit(coords, intrinsic, extrinsic, vbg.voxel_size)
+        planes = pint.prepare_planes(depth, color, vbg.has_color)
+        tw, color_arr = pint.integrate_blocks(
+            vbg.tw,
+            vbg.color,
+            rows,
+            coords,
+            v0,
+            u0,
+            fit,
+            planes,
+            intrinsic,
+            extrinsic,
+            vbg.voxel_size,
+            vbg.sdf_trunc,
+            depth_max,
+            weight_max,
+        )
+        vbg = dataclasses.replace(vbg, tw=tw.at[C].set(0), color=(
+            color_arr.at[C].set(0) if vbg.has_color else vbg.color
+        ))
+
+        # XLA fallback for blocks the slab window can't cover (close-ups)
+        if fallback_capacity > 0:
+            from open3d_tpu.core.masking import compact_indices
+
+            valid_key = (block_keys[:, 0] != 0) | (block_keys[:, 1] != 0)
+            fb_mask = valid_key & ok & (fit == 0)
+            fb_idx, fb_count = compact_indices(fb_mask, fallback_capacity)
+            fb_live = jnp.arange(fallback_capacity) < fb_count
+            safe_idx = jnp.maximum(fb_idx, 0)
+            fb_keys = jnp.where(fb_live[:, None], block_keys[safe_idx], 0)
+            fb_rows = jnp.where(fb_live, rows[safe_idx], C)
+            t_new, w_new, c_new = _new_voxel_values(
+                vbg, fb_keys, depth, color, intrinsic, extrinsic,
+                depth_max, 1.0, fb_live,
+            )
+            tw, color_arr = _fuse_xla(vbg, fb_rows, t_new, w_new, c_new, weight_max)
+            vbg = dataclasses.replace(vbg, tw=tw, color=color_arr)
+        return vbg
+
+    tsdf_new, wn, cnew = _new_voxel_values(
+        vbg, block_keys, depth, color, intrinsic, extrinsic, depth_max, 1.0, ok
+    )
     if use_pallas:
         from open3d_tpu.ops.pallas.tsdf import fuse_blocks
 
@@ -321,7 +377,7 @@ def integrate(
     else:
         tw, color_arr = _fuse_xla(vbg, rows, tsdf_new, wn, cnew, weight_max)
 
-    return dataclasses.replace(vbg, table=table, tw=tw, color=color_arr)
+    return dataclasses.replace(vbg, tw=tw, color=color_arr)
 
 
 # ---------------------------------------------------------------------------
@@ -543,7 +599,11 @@ def estimate_range(
     rh = tv1 - tv0 + 1
     K = int(max_tiles_per_block)
     KW = 8
-    fits = front & (rw * rh <= K) & (rw <= KW)
+    # rh must be bounded too: the scatter enumerates ky in [0, K // KW), so a
+    # tall-thin footprint (rw=2, rh=20) would leave tile rows >= K//KW
+    # unwritten -> (inf, -inf) ranges -> holes (advisor r2 #1). Tall blocks
+    # now take the conservative global-fallback path below.
+    fits = front & (rw * rh <= K) & (rw <= KW) & (rh <= K // KW)
     ok = vis & on & front & fits
     # fallback: visible blocks that don't fit (huge footprint / behind-plane)
     fb = vis & front & ~fits & on

@@ -43,7 +43,10 @@ class SLAMConfig:
     depth_max: float = 3.0
     trunc_voxel_multiplier: float = 8.0
     odometry_method: str = odom.POINT_TO_PLANE
-    frame_block_capacity: int = 2048
+    # 4096 default (advisor r2 #5): frames touching more blocks than this are
+    # truncated; slam_step surfaces the pre-clamp count so callers can detect
+    # it (FrameResult.touched_blocks > frame_block_capacity == truncation).
+    frame_block_capacity: int = 4096
     raycast_max_steps: int = 96
     with_color: bool = True
 
@@ -70,6 +73,8 @@ class FrameResult(NamedTuple):
     inlier_rmse: jnp.ndarray
     raycast_depth: jnp.ndarray  # (H, W) model frame for the NEXT track
     raycast_color: jnp.ndarray  # (H, W, 3)
+    touched_blocks: jnp.ndarray  # () int32 pre-clamp touch count (overflow
+    # detection: > config.frame_block_capacity means truncated integration)
 
 
 def create_model(config: SLAMConfig = SLAMConfig(), T_init: Optional[jnp.ndarray] = None) -> SLAMModel:
@@ -131,11 +136,13 @@ def integrate_frame(
     depth: jnp.ndarray,
     color: Optional[jnp.ndarray],
     intrinsic: PinholeCameraIntrinsic,
-) -> SLAMModel:
-    """Touch + integrate (ref: Model::Integrate, Model.cpp:91-105)."""
+):
+    """Touch + integrate (ref: Model::Integrate, Model.cpp:91-105).
+    Returns (model, touched_count) — touched_count is PRE-clamp so overflow
+    of frame_block_capacity is detectable."""
     cfg = model.config
     extrinsic = lie.invert_se3(model.T_frame_to_world)
-    keys, _ = vbg_mod.compute_unique_block_coordinates(
+    keys, touched = vbg_mod.compute_unique_block_coordinates(
         model.vbg,
         depth,
         intrinsic,
@@ -152,7 +159,7 @@ def integrate_frame(
         extrinsic,
         depth_max=cfg.depth_max,
     )
-    return dataclasses.replace(model, vbg=new_vbg)
+    return dataclasses.replace(model, vbg=new_vbg), touched
 
 
 def slam_step(
@@ -183,7 +190,7 @@ def slam_step(
     )
     model = dataclasses.replace(model, T_frame_to_world=T_new)
 
-    model = integrate_frame(model, depth, color, intrinsic)
+    model, touched = integrate_frame(model, depth, color, intrinsic)
     ray = synthesize_model_frame(model, intrinsic)
     model = dataclasses.replace(model, frame_id=model.frame_id + 1)
     return FrameResult(
@@ -193,4 +200,5 @@ def slam_step(
         inlier_rmse=result.inlier_rmse,
         raycast_depth=ray.depth,
         raycast_color=ray.color,
+        touched_blocks=touched,
     )

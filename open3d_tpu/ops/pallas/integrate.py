@@ -1,0 +1,385 @@
+"""Pallas TPU fused TSDF integrate: projective sampling + weighted-mean fuse.
+
+Reference: the per-voxel CUDA integrate kernel,
+t/geometry/kernel/VoxelBlockGridImpl.h:153-304 — project voxel -> pixel,
+SDF = depth - z clamped to +-trunc, running weighted mean of tsdf + color.
+
+Round-2 did the pixel sampling with XLA gathers (~130M scalar loads/s on
+v5e => 63 ms/frame); this kernel removes them: per touched block, the
+block's projected image RECT is DMA'd HBM->VMEM as a (128, 256)-pixel slab
+(5 planes: depth split into exact bf16 hi+lo, and r/g/b whose 8-bit values
+are bf16-exact), and every voxel's nearest-pixel sample is a one-hot MXU
+matmul over the slab's 128 rows + a lane `dynamic_gather` — then the
+weighted-mean fuse happens in the same kernel against the block's payload
+row, updated in place via input_output_aliases (the scalar-prefetched slot
+array picks the output row: a scatter-DMA).
+
+Blocks whose projected footprint exceeds the (128, 256) window (closer than
+~0.4 m at TUM intrinsics) are integrated by the XLA fallback path in
+voxel_block_grid.integrate; their count is surfaced as a stat.
+
+Sample layout note: per 256-voxel chunk the math runs in (256, 1)
+"broadcast" layout (samples on sublanes); the final (256,1) -> (2,128)
+relayout into block-row layout is two static-mask matmuls (a fixed
+permutation is a matrix).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TSDF_SCALE = 16383.0
+_B = 16
+_B3 = _B * _B * _B
+_SLAB_H = 128  # slab rows (v extent), 8-aligned
+_SLAB_W = 256  # slab cols (u extent), 128-aligned
+
+
+def _relayout_256_to_2x128(val, precision):
+    """(256, 1) f32 -> (2, 128) with out[r, l] = val[128 r + l].
+
+    A fixed permutation as two static masks + one matmul:
+    out = A @ (val_bcast * L), A[r, s] = [s // 128 == r], L[s, l] = [s % 128 == l].
+    """
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1)
+    L = (s_iota % 128) == l_iota  # static
+    V = jnp.where(L, jnp.broadcast_to(val, (256, 128)), 0.0)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (2, 256), 0)
+    s2_iota = jax.lax.broadcasted_iota(jnp.int32, (2, 256), 1)
+    A = ((s2_iota // 128) == r_iota).astype(jnp.float32)
+    return jax.lax.dot_general(
+        A, V, (((1,), (0,)), ((), ())), precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _integrate_kernel(
+    # scalar prefetch
+    slots_ref,  # (M,) i32 payload row (C = invalid/dump)
+    bx_ref,  # (M,) i32 block coords
+    by_ref,
+    bz_ref,
+    v0_ref,  # (M,) i32 slab origin (8-aligned)
+    u0_ref,  # (M,) i32 slab origin (128-aligned)
+    fit_ref,  # (M,) i32 1 = slab covers the footprint
+    # inputs
+    params_ref,  # (1, 128) f32
+    planes_hbm,  # (5 * H, W) f32 [d_hi | d_lo | r | g | b] stacked on rows
+    tw_in,  # (1, 32, 128) i32 aliased block row
+    col_in,  # (1, 32, 128) i32 aliased block row
+    # outputs
+    tw_out,  # (1, 32, 128) i32
+    col_out,  # (1, 32, 128) i32
+    # scratch
+    slab,  # (SLAB_H, 5 * SLAB_W) f32
+    sem,  # DMA sems (5,)
+    new_t,  # (32, 128) f32 scratch
+    new_w,  # (32, 128) f32
+    new_r,  # (32, 128) f32
+    new_g,  # (32, 128) f32
+    new_b,  # (32, 128) f32
+    *,
+    H: int,
+    W: int,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    voxel_size: float,
+    sdf_trunc: float,
+    depth_max: float,
+    weight_max: float,
+    with_color: bool,
+):
+    i = pl.program_id(0)
+    v0 = v0_ref[i]
+    u0 = u0_ref[i]
+    n_planes = 5 if with_color else 2
+    for p in range(n_planes):
+        pltpu.make_async_copy(
+            planes_hbm.at[pl.ds(p * H + v0, _SLAB_H), pl.ds(u0, _SLAB_W)],
+            slab.at[:, pl.ds(p * _SLAB_W, _SLAB_W)],
+            sem.at[p],
+        ).start()
+
+    par = [params_ref[0, j] for j in range(12)]
+    R00, R01, R02, R10, R11, R12, R20, R21, R22 = par[:9]
+    tX, tY, tZ = par[9:12]
+    ok_block = (fit_ref[i] == 1)
+
+    for p in range(n_planes):
+        pltpu.make_async_copy(
+            planes_hbm.at[pl.ds(p * H + v0, _SLAB_H), pl.ds(u0, _SLAB_W)],
+            slab.at[:, pl.ds(p * _SLAB_W, _SLAB_W)],
+            sem.at[p],
+        ).wait()
+
+    bxf = bx_ref[i].astype(jnp.float32) * (voxel_size * _B)
+    byf = by_ref[i].astype(jnp.float32) * (voxel_size * _B)
+    bzf = bz_ref[i].astype(jnp.float32) * (voxel_size * _B)
+    u0f = u0.astype(jnp.float32)
+    v0f = v0.astype(jnp.float32)
+
+    slab_all = slab[:]  # (128, 5*256)
+    n_lanes = n_planes * _SLAB_W
+    hp = jax.lax.Precision.HIGHEST
+
+    for c in range(16):  # z-slices
+        s = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+        lx = (s & 15).astype(jnp.float32)
+        ly = (s >> 4).astype(jnp.float32)
+        lzf = float(c)
+        # world position of voxel sample point
+        pwx = bxf + lx * voxel_size
+        pwy = byf + ly * voxel_size
+        pwz = bzf + lzf * voxel_size
+        # camera frame
+        pcx = R00 * pwx + R01 * pwy + R02 * pwz + tX
+        pcy = R10 * pwx + R11 * pwy + R12 * pwz + tY
+        pcz = R20 * pwx + R21 * pwy + R22 * pwz + tZ
+        zc = jnp.maximum(pcz, 1e-6)
+        uf = pcx / zc * fx + cx
+        vf = pcy / zc * fy + cy
+        ui = jnp.round(uf).astype(jnp.int32)
+        vi = jnp.round(vf).astype(jnp.int32)
+        su = ui - u0
+        sv = vi - v0
+        inb = (
+            (pcz > 1e-4)
+            & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+            & (su >= 0) & (su < _SLAB_W) & (sv >= 0) & (sv < _SLAB_H)
+        )
+        svc = jnp.clip(sv, 0, _SLAB_H - 1)
+        suc = jnp.clip(su, 0, _SLAB_W - 1)
+
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (256, _SLAB_H), 1) == svc
+        ).astype(jnp.bfloat16)
+        rows_sel = jax.lax.dot_general(
+            oh, slab_all.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (256, n_lanes) f32
+        lane = suc & 127
+        grp = suc >> 7
+        lane_b = jnp.broadcast_to(lane, (256, 128))
+
+        def sample_plane(p):
+            v_g0 = jnp.take_along_axis(
+                rows_sel[:, p * _SLAB_W : p * _SLAB_W + 128], lane_b, axis=1
+            )[:, :1]
+            v_g1 = jnp.take_along_axis(
+                rows_sel[:, p * _SLAB_W + 128 : (p + 1) * _SLAB_W], lane_b, axis=1
+            )[:, :1]
+            return jnp.where(grp == 0, v_g0, v_g1)
+
+        d = sample_plane(0) + sample_plane(1)  # exact f32 depth
+        d_ok = inb & (d > 0) & (d < depth_max)
+        sdf = d - pcz
+        keep = d_ok & (sdf >= -sdf_trunc) & ok_block
+        tsdf_new = jnp.clip(sdf * (1.0 / sdf_trunc), -1.0, 1.0)
+        wn = keep.astype(jnp.float32)
+
+        new_t[pl.ds(2 * c, 2), :] = _relayout_256_to_2x128(
+            jnp.where(keep, tsdf_new, 0.0), hp
+        )
+        new_w[pl.ds(2 * c, 2), :] = _relayout_256_to_2x128(wn, hp)
+        if with_color:
+            new_r[pl.ds(2 * c, 2), :] = _relayout_256_to_2x128(
+                jnp.where(keep, sample_plane(2), 0.0), hp
+            )
+            new_g[pl.ds(2 * c, 2), :] = _relayout_256_to_2x128(
+                jnp.where(keep, sample_plane(3), 0.0), hp
+            )
+            new_b[pl.ds(2 * c, 2), :] = _relayout_256_to_2x128(
+                jnp.where(keep, sample_plane(4), 0.0), hp
+            )
+
+    # ---- fuse against the old payload row (in place) ----
+    old = tw_in[0]
+    old_t = (old >> 16).astype(jnp.float32) * (1.0 / _TSDF_SCALE)
+    old_w = (old & 0xFFFF).astype(jnp.float32)
+    w_n = new_w[:]
+    w_sum = old_w + w_n
+    inv = 1.0 / jnp.maximum(w_sum, 1e-6)
+    upd = w_n > 0
+    t2 = jnp.where(upd, (old_t * old_w + new_t[:] * w_n) * inv, old_t)
+    w2 = jnp.minimum(w_sum, weight_max)
+    tq = jnp.round(jnp.clip(t2, -1.0, 1.0) * _TSDF_SCALE).astype(jnp.int32)
+    tw_out[0] = (tq << 16) | w2.astype(jnp.int32)
+
+    oldc = col_in[0]
+    ro = ((oldc >> 21) & 0x7FF).astype(jnp.float32) * (1.0 / 2047.0)
+    go = ((oldc >> 10) & 0x7FF).astype(jnp.float32) * (1.0 / 2047.0)
+    bo = (oldc & 0x3FF).astype(jnp.float32) * (1.0 / 1023.0)
+    if with_color:
+        r2 = jnp.where(upd, (ro * old_w + new_r[:] * w_n) * inv, ro)
+        g2 = jnp.where(upd, (go * old_w + new_g[:] * w_n) * inv, go)
+        b2 = jnp.where(upd, (bo * old_w + new_b[:] * w_n) * inv, bo)
+    else:
+        r2, g2, b2 = ro, go, bo
+    ri = jnp.clip(r2 * 2047.0 + 0.5, 0, 2047).astype(jnp.int32)
+    gi = jnp.clip(g2 * 2047.0 + 0.5, 0, 2047).astype(jnp.int32)
+    bi = jnp.clip(b2 * 1023.0 + 0.5, 0, 1023).astype(jnp.int32)
+    col_out[0] = (ri << 21) | (gi << 10) | bi
+
+
+def prepare_planes(depth: jnp.ndarray, color, with_color: bool):
+    """Stack [d_hi | d_lo | r | g | b] along rows as one (5H, W) f32 image."""
+    H, W = depth.shape
+    d_hi_b = depth.astype(jnp.bfloat16)
+    d_hi = d_hi_b.astype(jnp.float32)
+    d_lo = depth - d_hi
+    if with_color:
+        planes = [d_hi, d_lo, color[..., 0], color[..., 1], color[..., 2]]
+    else:
+        z = jnp.zeros_like(depth)
+        planes = [d_hi, d_lo, z, z, z]
+    return jnp.concatenate(planes, axis=0)
+
+
+def block_slab_fit(coords, intrinsic, extrinsic, voxel_size):
+    """Per-block slab origin + fit flag (XLA prep).
+
+    coords (M, 3) int32 block coords. Returns (v0, u0, fit) int32 arrays.
+    fit==0 for blocks whose projected rect exceeds the (128, 256) window or
+    that straddle the camera plane (handled by the caller's fallback)."""
+    bs = voxel_size * _B
+    corners = jnp.asarray(
+        [[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], jnp.float32
+    ) * bs
+    pw = coords.astype(jnp.float32)[:, None, :] * bs + corners
+    R = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    pc = pw @ R.T + t
+    z = pc[..., 2]
+    front = jnp.all(z > 1e-4, axis=-1)
+    zs = jnp.maximum(z, 1e-6)
+    u = pc[..., 0] / zs * intrinsic.fx + intrinsic.cx
+    v = pc[..., 1] / zs * intrinsic.fy + intrinsic.cy
+    u_min = jnp.floor(jnp.min(u, axis=-1)).astype(jnp.int32)
+    u_max = jnp.ceil(jnp.max(u, axis=-1)).astype(jnp.int32)
+    v_min = jnp.floor(jnp.min(v, axis=-1)).astype(jnp.int32)
+    v_max = jnp.ceil(jnp.max(v, axis=-1)).astype(jnp.int32)
+    H, W = intrinsic.height, intrinsic.width
+    # align origins down; clamp so the window stays inside the image
+    v0 = jnp.clip((v_min // 8) * 8, 0, max(H - _SLAB_H, 0))
+    u0 = jnp.clip((u_min // 128) * 128, 0, max(W - _SLAB_W, 0))
+    fit = front & (u_max - u0 < _SLAB_W) & (v_max - v0 < _SLAB_H) & (
+        u_max >= 0
+    ) & (v_max >= 0) & (u_min < W) & (v_min < H)
+    # fully-offscreen blocks: mark fit (they produce zero weight anyway)
+    off = front & ((u_max < 0) | (u_min >= W) | (v_max < 0) | (v_min >= H))
+    fit = fit | off
+    return v0, u0, fit.astype(jnp.int32)
+
+
+def integrate_blocks(
+    tw_buf,  # (C+1, B3) i32
+    color_buf,  # (C+1, B3) i32 (may be (C+1, 0))
+    slots,  # (M,) i32 payload rows (C = dump)
+    coords,  # (M, 3) i32 block coords
+    v0,
+    u0,
+    fit,  # (M,) i32 from block_slab_fit
+    planes,  # (5H, W) f32 from prepare_planes
+    intrinsic,
+    extrinsic,
+    voxel_size: float,
+    sdf_trunc: float,
+    depth_max: float,
+    weight_max: float = 10000.0,
+    interpret: bool = False,
+):
+    """Sample + fuse M touched blocks in place. Returns (tw', color')."""
+    C1, B3 = tw_buf.shape
+    assert B3 == _B3
+    M = slots.shape[0]
+    with_color = color_buf.shape[1] > 0
+    H, W = intrinsic.height, intrinsic.width
+
+    R = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    params = jnp.zeros((1, 128), jnp.float32)
+    params = params.at[0, :9].set(R.reshape(-1))
+    params = params.at[0, 9:12].set(t)
+
+    tw3 = tw_buf.reshape(C1, 32, 128)
+    col3 = (
+        color_buf.reshape(C1, 32, 128)
+        if with_color
+        else jnp.zeros((C1, 32, 128), jnp.int32)
+    )
+
+    kern = functools.partial(
+        _integrate_kernel,
+        H=H,
+        W=W,
+        fx=float(intrinsic.fx),
+        fy=float(intrinsic.fy),
+        cx=float(intrinsic.cx),
+        cy=float(intrinsic.cy),
+        voxel_size=float(voxel_size),
+        sdf_trunc=float(sdf_trunc),
+        depth_max=float(depth_max),
+        weight_max=float(weight_max),
+        with_color=with_color,
+    )
+    row_spec = pl.BlockSpec((1, 32, 128), lambda i, *_: (_[0][i], 0, 0))
+
+    def row_index(i, slots_s, *rest):
+        return (slots_s[i], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(M,),
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 32, 128), row_index),
+            pl.BlockSpec((1, 32, 128), row_index),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 32, 128), row_index),
+            pl.BlockSpec((1, 32, 128), row_index),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_SLAB_H, 5 * _SLAB_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((32, 128), jnp.float32),
+            pltpu.VMEM((32, 128), jnp.float32),
+            pltpu.VMEM((32, 128), jnp.float32),
+            pltpu.VMEM((32, 128), jnp.float32),
+            pltpu.VMEM((32, 128), jnp.float32),
+        ],
+    )
+    tw3, col3 = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(tw3.shape, tw3.dtype),
+            jax.ShapeDtypeStruct(col3.shape, col3.dtype),
+        ),
+        input_output_aliases={9: 0, 10: 1},
+        interpret=interpret,
+    )(
+        slots.astype(jnp.int32),
+        coords[:, 0],
+        coords[:, 1],
+        coords[:, 2],
+        v0,
+        u0,
+        fit,
+        params,
+        planes,
+        tw3,
+        col3,
+    )
+    tw2 = tw3.reshape(C1, B3)
+    col2 = col3.reshape(C1, B3) if with_color else color_buf
+    return tw2, col2

@@ -182,15 +182,39 @@ def _solve(H, b, lam, anchor: int):
     return dx.reshape(F, 6)
 
 
+def _solve_distributed(graph: PoseGraph, weights, lam, anchor: int, mesh, axis):
+    """Edge-sharded matrix-free PCG replacement for the dense solve
+    (parallel/solver.py; SURVEY section 5.8's reduce-scatter/all-reduce
+    design — one psum per H-apply over the `axis` mesh dimension)."""
+    from open3d_tpu.parallel import solver as dsolver
+
+    F = graph.poses.shape[0]
+    s, t = graph.edges[:, 0], graph.edges[:, 1]
+    T_s = graph.poses[s]
+    T_t = graph.poses[t]
+    r = jax.vmap(_edge_residual)(T_s, T_t, graph.transformations)
+    J = _edge_jac(T_s, T_t, graph.transformations)
+    Lam = graph.informations * weights[:, None, None]
+    sys = dsolver.EdgeSystem(J[:, :, :6], J[:, :, 6:], Lam, r, s, t)
+    return dsolver.solve_pose_graph_cg(sys, F, lam, anchor, mesh=mesh, axis=axis)
+
+
 def global_optimization(
     graph: PoseGraph,
     option: GlobalOptimizationOption = GlobalOptimizationOption(),
     criteria: GlobalOptimizationConvergenceCriteria = GlobalOptimizationConvergenceCriteria(),
+    mesh=None,
+    mesh_axis: str = "edges",
 ) -> PoseGraph:
     """Robust LM pose-graph optimization with line-process edge weights.
 
     (ref: GlobalOptimizationLevenbergMarquardt::OptimizePoseGraph,
-    GlobalOptimization.cpp + GlobalOptimizationMethod.h:67)"""
+    GlobalOptimization.cpp + GlobalOptimizationMethod.h:67)
+
+    With `mesh`, the inner solve is the edge-sharded matrix-free PCG
+    (block-Jacobi preconditioned, one psum per Hessian apply) instead of the
+    dense replicated 6F x 6F Cholesky — the distributed multiway solve of
+    BASELINE.json's north-star config 5."""
     # mu = preference * dmax^2 * mean(info[5,5]) over edges
     # (ref: ComputeLineProcessWeight, GlobalOptimization.cpp:330-346)
     n_edges = jnp.maximum(jnp.sum(graph.edge_valid.astype(jnp.float32)), 1.0)
@@ -213,7 +237,12 @@ def global_optimization(
     def body(state):
         it, poses, conf, lam, _ = state
         H, b, cost = system_for(poses, conf)[:3]
-        dx = _solve(H, b, lam, anchor)
+        if mesh is not None:
+            g = dataclasses.replace(graph, poses=poses)
+            w = jnp.where(g.edge_valid, jnp.where(g.uncertain, conf, 1.0), 0.0)
+            dx = _solve_distributed(g, w, lam, anchor, mesh, mesh_axis)
+        else:
+            dx = _solve(H, b, lam, anchor)
         new_poses = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx, poses)
         _, _, new_cost = system_for(new_poses, conf)[:3]
         improved = new_cost < cost
@@ -250,11 +279,13 @@ def global_optimization_two_pass(
     graph: PoseGraph,
     option: GlobalOptimizationOption = GlobalOptimizationOption(),
     criteria: GlobalOptimizationConvergenceCriteria = GlobalOptimizationConvergenceCriteria(),
+    mesh=None,
+    mesh_axis: str = "edges",
 ) -> PoseGraph:
     """Optimize, prune invalid loop closures, optimize again
     (ref: GlobalOptimization.cpp GlobalOptimization + pruning pass)."""
-    g1 = global_optimization(graph, option, criteria)
-    return global_optimization(g1, option, criteria)
+    g1 = global_optimization(graph, option, criteria, mesh=mesh, mesh_axis=mesh_axis)
+    return global_optimization(g1, option, criteria, mesh=mesh, mesh_axis=mesh_axis)
 
 
 # ---------------------------------------------------------------------------

@@ -245,9 +245,14 @@ class TransformationEstimationForDopplerICP:
     Source attrs must carry "dopplers" (N,) m/s and "directions" (N,3) unit
     sensor->point rays; `period` is the scan period (s). The Doppler residual
     couples the ego velocity implied by the CURRENT accumulated transform to
-    the measured radial speed: with (ω, v) = se3_log(T)/period,
-    r_d = doppler + d·(ω × p + v)  — it vanishes at the true pose (the
-    reference evaluates the residual at the current state the same way).
+    the measured radial speed: with (ω, v) = se3_log(T),
+    r_d = doppler − d·(ω × p + v)/period — matching the reference's sign
+    convention (RegistrationImpl.h:442-446 computes error = doppler − (−d·v_s)
+    with v_s = −state/period, i.e. measured doppler ≈ +d·state/period;
+    advisor r2 #4). Divergence note: the reference evaluates the ω term with
+    the vehicle→sensor lever arm (a calibration constant), not per-point
+    positions; we use per-point p, which is exact for the sensor-frame
+    point velocity and reduces to the reference for small lever arms.
     """
 
     period: float = 0.1
@@ -263,13 +268,13 @@ class TransformationEstimationForDopplerICP:
 
         d = src_attrs["directions"]
         dop = src_attrs["dopplers"]
-        # v_ego ~ (omega x p + t)/period; radial speed = -d . v_ego
-        J_d = jnp.concatenate([jnp.cross(src_pos, d), d], axis=-1) / self.period
+        # r_d = dop - d.(omega x p + v)/period;  d(r_d)/d(xi) = -[p x d, d]/T
+        J_d = -jnp.concatenate([jnp.cross(src_pos, d), d], axis=-1) / self.period
         if T is not None:
             xi = lie.se3_log(T)  # (omega, v) of the accumulated transform
             omega, v = xi[:3], xi[3:]
             v_pt = jnp.cross(jnp.broadcast_to(omega, src_pos.shape), src_pos) + v
-            r_d = dop + jnp.sum(d * v_pt, axis=-1) / self.period
+            r_d = dop - jnp.sum(d * v_pt, axis=-1) / self.period
         else:
             r_d = dop
         sqrt_lg = jnp.sqrt(1.0 - self.lambda_doppler)

@@ -54,7 +54,9 @@ def test_doppler_nonzero_consistent_dopplers_converge():
     xi = np.asarray(lie.se3_log(T_gt))
     omega, v = xi[:3], xi[3:]
     v_pt = np.cross(np.broadcast_to(omega, src_np.shape), src_np) + v
-    dop = -(dirs * v_pt).sum(axis=1) / period  # r_d(T_gt) == 0
+    # reference sign convention (r_d = dop - d.(omega x p + v)/period,
+    # RegistrationImpl.h:442-446): measured doppler = +d.state/period
+    dop = (dirs * v_pt).sum(axis=1) / period  # r_d(T_gt) == 0
     src = PointCloud.create(
         jnp.asarray(src_np),
         dopplers=jnp.asarray(dop.astype(np.float32)),

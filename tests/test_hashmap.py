@@ -165,10 +165,13 @@ class TestUniqueKeys:
         assert int(n) <= 10
         assert bool(jnp.all(hm.is_valid(keys[: int(n)])))
 
-    def test_overflow_truncates(self):
+    def test_overflow_truncates_but_reports_true_count(self):
+        # count is the PRE-clamp unique total so callers can DETECT the
+        # truncation (advisor r2 #5); the array itself holds `capacity` keys.
         keys, n = hm.unique_keys(hm.pack_coords(_coords(100, -100, 100, seed=9)), 16)
-        assert int(n) == 16
+        assert int(n) > 16  # overflow is visible
         assert bool(jnp.all(hm.is_valid(keys)))
+        assert keys.shape == (16, 2)
 
 
 class TestResizeActive:
