@@ -27,6 +27,7 @@ permutation is a matrix).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +88,7 @@ def _integrate_kernel(
     *,
     H: int,
     W: int,
+    Hp: int,  # padded plane row stride (planes image is (5*Hp, Wp))
     fx: float,
     fy: float,
     cx: float,
@@ -103,7 +105,7 @@ def _integrate_kernel(
     n_planes = 5 if with_color else 2
     for p in range(n_planes):
         pltpu.make_async_copy(
-            planes_hbm.at[pl.ds(p * H + v0, _SLAB_H), pl.ds(u0, _SLAB_W)],
+            planes_hbm.at[pl.ds(p * Hp + v0, _SLAB_H), pl.ds(u0, _SLAB_W)],
             slab.at[:, pl.ds(p * _SLAB_W, _SLAB_W)],
             sem.at[p],
         ).start()
@@ -115,7 +117,7 @@ def _integrate_kernel(
 
     for p in range(n_planes):
         pltpu.make_async_copy(
-            planes_hbm.at[pl.ds(p * H + v0, _SLAB_H), pl.ds(u0, _SLAB_W)],
+            planes_hbm.at[pl.ds(p * Hp + v0, _SLAB_H), pl.ds(u0, _SLAB_W)],
             slab.at[:, pl.ds(p * _SLAB_W, _SLAB_W)],
             sem.at[p],
         ).wait()
@@ -230,8 +232,12 @@ def _integrate_kernel(
 
 
 def prepare_planes(depth: jnp.ndarray, color, with_color: bool):
-    """Stack [d_hi | d_lo | r | g | b] along rows as one (5H, W) f32 image."""
+    """Stack [d_hi | d_lo | r | g | b] along rows as one (5*Hp, Wp) f32
+    image, padded so the (SLAB_H, SLAB_W) DMA window always fits (padding
+    reads as depth 0 = invalid)."""
     H, W = depth.shape
+    Hp = max(-(-H // 8) * 8, _SLAB_H)
+    Wp = max(-(-W // 128) * 128, _SLAB_W)
     d_hi_b = depth.astype(jnp.bfloat16)
     d_hi = d_hi_b.astype(jnp.float32)
     d_lo = depth - d_hi
@@ -240,15 +246,19 @@ def prepare_planes(depth: jnp.ndarray, color, with_color: bool):
     else:
         z = jnp.zeros_like(depth)
         planes = [d_hi, d_lo, z, z, z]
-    return jnp.concatenate(planes, axis=0)
+    stack = jnp.stack(planes, axis=0)  # (5, H, W)
+    stack = jnp.pad(stack, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    return stack.reshape(5 * Hp, Wp)
 
 
-def block_slab_fit(coords, intrinsic, extrinsic, voxel_size):
+def block_slab_fit(coords, intrinsic, extrinsic, voxel_size, hp=None, wp=None):
     """Per-block slab origin + fit flag (XLA prep).
 
     coords (M, 3) int32 block coords. Returns (v0, u0, fit) int32 arrays.
     fit==0 for blocks whose projected rect exceeds the (128, 256) window or
-    that straddle the camera plane (handled by the caller's fallback)."""
+    that straddle the camera plane (handled by the caller's fallback).
+    hp/wp: padded plane dims (window clamp bounds); default = padded
+    intrinsic dims."""
     bs = voxel_size * _B
     corners = jnp.asarray(
         [[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], jnp.float32
@@ -267,9 +277,13 @@ def block_slab_fit(coords, intrinsic, extrinsic, voxel_size):
     v_min = jnp.floor(jnp.min(v, axis=-1)).astype(jnp.int32)
     v_max = jnp.ceil(jnp.max(v, axis=-1)).astype(jnp.int32)
     H, W = intrinsic.height, intrinsic.width
-    # align origins down; clamp so the window stays inside the image
-    v0 = jnp.clip((v_min // 8) * 8, 0, max(H - _SLAB_H, 0))
-    u0 = jnp.clip((u_min // 128) * 128, 0, max(W - _SLAB_W, 0))
+    if hp is None:
+        hp = max(-(-H // 8) * 8, _SLAB_H)
+    if wp is None:
+        wp = max(-(-W // 128) * 128, _SLAB_W)
+    # align origins down; clamp so the window stays inside the padded image
+    v0 = jnp.clip((v_min // 8) * 8, 0, hp - _SLAB_H)
+    u0 = jnp.clip((u_min // 128) * 128, 0, wp - _SLAB_W)
     fit = front & (u_max - u0 < _SLAB_W) & (v_max - v0 < _SLAB_H) & (
         u_max >= 0
     ) & (v_max >= 0) & (u_min < W) & (v_min < H)
@@ -294,9 +308,11 @@ def integrate_blocks(
     sdf_trunc: float,
     depth_max: float,
     weight_max: float = 10000.0,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ):
     """Sample + fuse M touched blocks in place. Returns (tw', color')."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
     C1, B3 = tw_buf.shape
     assert B3 == _B3
     M = slots.shape[0]
@@ -316,10 +332,12 @@ def integrate_blocks(
         else jnp.zeros((C1, 32, 128), jnp.int32)
     )
 
+    Hp = planes.shape[0] // 5
     kern = functools.partial(
         _integrate_kernel,
         H=H,
         W=W,
+        Hp=Hp,
         fx=float(intrinsic.fx),
         fy=float(intrinsic.fy),
         cx=float(intrinsic.cx),
