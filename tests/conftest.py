@@ -36,3 +36,156 @@ except Exception:  # pragma: no cover - internal API drift
 @pytest.fixture(scope="session")
 def rng_key():
     return jax.random.PRNGKey(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: >=1 s on the CPU reference run")
+    config.addinivalue_line("markers", "fast: sub-1 s tier (pytest -m fast < 60 s)")
+
+
+# Measured on the round-3 full CPU run (973 s total). Everything not listed
+# here is `fast`; `pytest -m fast` covers the whole surface in under a
+# minute for iteration, the full suite stays the merge gate (round-2
+# verdict item #9). New slow tests belong in this list.
+_SLOW_TESTS = {
+    "tests/test_reconstruction.py::TestShardedRunSystem",
+    "tests/test_bounding_lineset.py::test_lineset_from_boxes_and_camera",
+    "tests/test_bounding_lineset.py::test_minimal_obb_beats_pca",
+    "tests/test_bounding_lineset.py::test_obb_pca_recovers_rotation",
+    "tests/test_color_map.py::test_rigid_color_map_perfect_poses_stay",
+    "tests/test_gicp_doppler.py::test_doppler_estimation_runs_and_improves",
+    "tests/test_gicp_doppler.py::test_doppler_nonzero_consistent_dopplers_converge",
+    "tests/test_global_registration.py::TestFPFH::test_mutual_correspondences_identity",
+    "tests/test_global_registration.py::TestFPFH::test_rigid_invariance",
+    "tests/test_global_registration.py::TestRANSAC::test_correspondence_ransac_with_outliers",
+    "tests/test_hashmap.py::TestFindActivate::test_activate_idempotent",
+    "tests/test_hashmap.py::TestFindActivate::test_collision_chains_high_load",
+    "tests/test_hashmap.py::TestFindActivate::test_duplicate_keys_within_batch_via_unique",
+    "tests/test_hashmap.py::TestFindActivate::test_find_in_empty_table",
+    "tests/test_hashmap.py::TestResizeActive::test_resize_preserves_keys",
+    "tests/test_hashmap.py::TestUniqueKeys::test_counts_and_padding",
+    "tests/test_hashmap.py::TestUniqueKeys::test_overflow_truncates_but_reports_true_count",
+    "tests/test_linalg.py::test_eigh3x3_degenerate",
+    "tests/test_linalg.py::test_eigh3x3_matches_numpy",
+    "tests/test_linalg.py::test_solve_6x6",
+    "tests/test_mesh_ops.py::test_clip_plane",
+    "tests/test_mesh_ops.py::test_laplacian_and_taubin_smoothing",
+    "tests/test_mesh_ops.py::test_remove_duplicated_vertices",
+    "tests/test_mesh_ops.py::test_subdivide_midpoint_counts_and_area",
+    "tests/test_mesh_toolbox.py::test_fill_holes_respects_size_cutoff",
+    "tests/test_mesh_toolbox.py::test_remove_degenerate_and_unreferenced",
+    "tests/test_mesh_toolbox.py::test_select_by_index_and_mask",
+    "tests/test_ml_ops.py::test_invert_neighbors_list",
+    "tests/test_ml_ops.py::test_iou_3d",
+    "tests/test_ml_ops.py::test_iou_bev_rotated",
+    "tests/test_ml_ops.py::test_nms_suppresses_overlaps",
+    "tests/test_ml_ops.py::test_voxel_pooling_average",
+    "tests/test_ml_ops.py::test_voxelize_groups_points",
+    "tests/test_nns.py::test_chunking_consistency",
+    "tests/test_nns.py::test_hybrid_search_counts_and_radius",
+    "tests/test_nns_grid.py::test_grid_dense_cell_cap_is_deterministic",
+    "tests/test_nns_grid.py::test_grid_radius_exceeds_cell_raises",
+    "tests/test_odometry.py::test_odometry_information_matrix",
+    "tests/test_pallas_tsdf.py::test_fuse_kernel_nocolor",
+    "tests/test_pointcloud.py::test_outlier_removal",
+    "tests/test_pointcloud.py::test_uniform_and_random_downsample",
+    "tests/test_pointcloud.py::test_unproject_project_roundtrip",
+    "tests/test_pointcloud.py::test_voxel_down_sample_grid",
+    "tests/test_pointcloud.py::test_voxel_down_sample_preserves_attrs",
+    "tests/test_raycasting.py::test_cast_rays_hit_and_miss",
+    "tests/test_raycasting.py::test_closest_points_and_distance",
+    "tests/test_raycasting.py::test_signed_distance_and_occupancy",
+    "tests/test_raycasting.py::test_two_geometries_ids",
+    "tests/test_reconstruction.py::TestDatasets::test_demo_icp_point_clouds",
+    "tests/test_reconstruction.py::TestDatasets::test_synthetic_sequence_layout",
+    "tests/test_registration.py::test_evaluate_registration_identity_on_same_cloud",
+    "tests/test_registration.py::test_information_matrix_spd",
+    "tests/test_registration.py::test_umeyama_degenerate_planar",
+    "tests/test_registration.py::test_umeyama_exact_recovery",
+    "tests/test_segmentation.py::test_cluster_dbscan_chain_merges",
+    "tests/test_segmentation.py::test_iss_keypoints_on_corner",
+    "tests/test_segmentation.py::test_segment_plane_respects_mask",
+    "tests/test_slac.py::TestControlGrid::test_deform_follows_grid_shift",
+    "tests/test_slac.py::TestControlGrid::test_neighbor_grid_map",
+    "tests/test_slac.py::TestControlGrid::test_retouch_preserves_deformation",
+    "tests/test_slac.py::TestControlGrid::test_touch_parameterize_deform_identity",
+    "tests/test_trianglemesh.py::TestTriangleMesh::test_metrics_identical_meshes",
+    "tests/test_trianglemesh.py::TestTriangleMesh::test_metrics_offset_detects_distance",
+    "tests/test_trianglemesh.py::TestTriangleMesh::test_sample_points_uniformly",
+    "tests/test_visualization.py::test_draw_writes_png",
+    "tests/test_voxelgrid.py::test_check_if_included",
+    "tests/test_voxelgrid.py::test_create_dense_and_carve",
+    "tests/test_voxelgrid.py::test_create_from_point_cloud_dedup_and_color",
+    "tests/test_voxelgrid.py::test_octree_build_and_locate",
+    "tests/test_slac.py::TestSLACOptimizer",
+    "tests/test_color_map.py::test_rigid_color_map_sharpens",
+    "tests/test_color_map.py::test_non_rigid_runs_and_improves",
+    "tests/test_distributed_solver.py",
+    "tests/test_distributed_pipeline.py::test_full_distributed_round_trip",
+    "tests/test_distributed_pipeline.py::test_make_fragments_sharded",
+    "tests/test_distributed_pipeline.py::test_register_pairs_sharded",
+    "tests/test_distributed_pipeline.py::test_sharded_matches_single_device",
+    "tests/test_gicp_doppler.py::test_gicp_recovers_pose",
+    "tests/test_global_registration.py::TestFGR::test_recovers_rigid_transform",
+    "tests/test_global_registration.py::TestFPFH::test_shape_and_masking",
+    "tests/test_global_registration.py::TestRANSAC::test_recovers_rigid_transform",
+    "tests/test_hashmap.py::TestErase::test_erase_then_miss",
+    "tests/test_hashmap.py::TestErase::test_probe_chain_survives_tombstone",
+    "tests/test_hashmap.py::TestFindActivate::test_activate_then_find",
+    "tests/test_hashmap.py::TestResizeActive::test_active_slots",
+    "tests/test_hashmap.py::test_property_vs_python_dict[1000-16384]",
+    "tests/test_hashmap.py::test_property_vs_python_dict[200-4096]",
+    "tests/test_io.py::TestNative::test_sequence_iter_frames",
+    "tests/test_io.py::TestVBGCheckpoint::test_roundtrip",
+    "tests/test_lie.py::test_batched",
+    "tests/test_linalg.py::test_solve_gn_6x6_batched",
+    "tests/test_mesh_ops.py::test_simplify_vertex_clustering",
+    "tests/test_mesh_toolbox.py::test_fill_holes_closes_cap",
+    "tests/test_mesh_toolbox.py::test_quadric_decimation_preserves_planes",
+    "tests/test_mesh_toolbox.py::test_quadric_decimation_sphere",
+    "tests/test_ml_ops.py::test_continuous_conv_constant_filter_is_masked_mean",
+    "tests/test_ml_ops.py::test_continuous_conv_grad_flows",
+    "tests/test_ml_ops.py::test_iou_bev_axis_aligned",
+    "tests/test_ml_ops.py::test_sparse_conv_identity_kernel",
+    "tests/test_ml_ops.py::test_sparse_conv_neighbor_sum",
+    "tests/test_nns_grid.py::test_grid_masked_targets",
+    "tests/test_nns_grid.py::test_grid_matches_bruteforce",
+    "tests/test_nns_grid.py::test_grid_queries_equal_targets",
+    "tests/test_nns_grid.py::test_grid_reusable_index",
+    "tests/test_odometry.py::test_odometry_identity_on_same_frame",
+    "tests/test_odometry.py::test_odometry_larger_baseline_hybrid",
+    "tests/test_odometry.py::test_odometry_recovers_pose[hybrid]",
+    "tests/test_odometry.py::test_odometry_recovers_pose[intensity]",
+    "tests/test_odometry.py::test_odometry_recovers_pose[point_to_plane]",
+    "tests/test_pallas_tsdf.py::test_fuse_kernel_matches_xla_path",
+    "tests/test_parallel.py::test_multiway_align_recovers_poses",
+    "tests/test_parallel.py::test_sharded_matches_single_device",
+    "tests/test_pointcloud.py::test_estimate_normals_on_sphere",
+    "tests/test_pose_graph.py::TestGlobalOptimization::test_false_loop_pruned",
+    "tests/test_pose_graph.py::TestGlobalOptimization::test_reduces_drift",
+    "tests/test_pose_graph.py::TestGlobalOptimization::test_residual_zero_at_ground_truth",
+    "tests/test_reconstruction.py::TestReconstructionSystem::test_run_system_ate",
+    "tests/test_registration.py::test_colored_icp_runs",
+    "tests/test_registration.py::test_icp_jits_and_caches",
+    "tests/test_registration.py::test_icp_recovers_pose[point_to_plane]",
+    "tests/test_registration.py::test_icp_recovers_pose[point_to_point]",
+    "tests/test_registration.py::test_icp_with_robust_kernel_and_outliers",
+    "tests/test_registration.py::test_multi_scale_icp",
+    "tests/test_segmentation.py::test_cluster_dbscan_two_blobs",
+    "tests/test_segmentation.py::test_segment_plane_recovers_dominant_plane",
+    "tests/test_slam.py::test_slam_first_frame_identity",
+    "tests/test_slam.py::test_slam_tracks_and_reconstructs",
+    "tests/test_surface_reconstruction.py::test_marching_tetrahedra_dense_sphere",
+    "tests/test_surface_reconstruction.py::test_poisson_fft_sphere",
+    "tests/test_trianglemesh.py::TestExtractTriangleMesh::test_capacity_overflow_is_masked",
+    "tests/test_trianglemesh.py::TestExtractTriangleMesh::test_sphere_extraction",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if any(nodeid.startswith(s) for s in _SLOW_TESTS):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)

