@@ -1,16 +1,25 @@
-"""Benchmark: TSDF VoxelBlockGrid integration throughput (frames/second).
+"""Benchmarks for the BASELINE.json configs, honestly synchronized.
 
-North-star metric (BASELINE.md): the reference's native CUDA VoxelBlockGrid
-integrates at ~100 Hz on a GTX 1070
-(docs/tutorial/t_reconstruction_system/integration.rst:43) at 640x480,
-voxel_size 3.0/512, 16^3 blocks. This benchmark reproduces that workload on
-TPU: per frame = frustum touch -> hashmap activate -> flat-gather projective
-SDF sampling -> Pallas scatter-row fuse, as one jitted DONATED-buffer step
-(the grid updates in place; see open3d_tpu/ops/pallas/tsdf.py).
+Headline: TSDF VoxelBlockGrid integration throughput (frames/second) at the
+reference workload — 640x480, voxel 3/512 m, 16^3 blocks (the reference's
+native CUDA kernels reach ~100 Hz on a GTX 1070,
+docs/tutorial/t_reconstruction_system/integration.rst:43). vs_baseline =
+fps / 100.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
-extra carries secondary metrics (raycast fps, slam-loop fps) and the
-per-stage breakdown the round-1 verdict asked for.
+extra carries the round-3 secondary metrics:
+  raycast_fps          full 640x480 Pallas tile-march raycast (target 30)
+  slam_fps             full dense-SLAM step: track + integrate + raycast
+  icp_iters_per_s      multi-scale ICP at the reference harness config
+                       (voxel 0.02, dmax 0.05 — benchmarks/t/pipelines/
+                       registration/Registration.cpp:16-42)
+  odometry_fps         RGBD hybrid odometry frame pairs / s
+  fpfh_ransac_s        FPFH + RANSAC global registration wall-clock
+  *_ms                 per-stage breakdown
+
+SYNC NOTE: on the axon TPU tunnel `block_until_ready` can return before
+execution finishes (round-2's 1873 fps integration number was dispatch
+rate, not compute — measured honestly it was ~8 fps). Every timing below
+drains the pipe by pulling a scalar reduction of the result to the host.
 """
 
 import json
@@ -20,44 +29,40 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_FPS = 100.0  # reference CUDA kernels, GTX 1070
-RAYCAST_BASELINE_FPS = 30.0
+RAYCAST_TARGET_FPS = 30.0
 
 
-def timed(fn, *args, n=3, inner=1):
-    out = jax.block_until_ready(fn(*args))
+def _drain(out):
+    """Force full device-side completion (device->host scalar pull)."""
+    leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "dtype")]
+    acc = 0.0
+    for l in leaves[:2]:
+        x = l
+        while x.ndim > 1:
+            x = x[0]
+        acc += float(jnp.sum(x[..., :1].astype(jnp.float32)))
+    return acc
+
+
+def timed_loop(fn, args_list, n_reps=3):
+    """Wall-clock per call over n_reps passes of args_list, honest sync."""
+    out = fn(*args_list[0])
+    _drain(out)
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / (n * inner), out
+    for _ in range(n_reps):
+        for a in args_list:
+            out = fn(*a)
+    _drain(out)
+    return (time.perf_counter() - t0) / (n_reps * len(args_list))
 
 
-def main():
-    from open3d_tpu.data import synthetic
-    from open3d_tpu.geometry import voxel_block_grid as vbg_mod
-    from open3d_tpu.geometry.camera import PinholeCameraIntrinsic
-
-    intrinsic = PinholeCameraIntrinsic(640, 480, 525.0, 525.0, 319.5, 239.5)
-    n_frames = 16
-    depths, colors, extrinsics, _ = synthetic.render_sequence(
-        n_frames, intrinsic=intrinsic, span=0.8
-    )
-    depths = jax.block_until_ready(depths)
-
-    def make_vbg():
-        return vbg_mod.create(
-            voxel_size=3.0 / 512, block_resolution=16, block_count=40960, with_color=True
-        )
-
-    FBC = 1024  # ~556 blocks touched per frame on this scene
-
-    @jax.jit
-    def touch(vbg, depth, extrinsic):
-        return vbg_mod.compute_unique_block_coordinates(
-            vbg, depth, intrinsic, extrinsic, depth_max=3.0, frame_block_capacity=FBC
-        )
-
+def bench_integration(intrinsic, depths, colors, extrinsics, small=False):
     from functools import partial
+
+    from open3d_tpu.geometry import voxel_block_grid as vbg_mod
+
+    n_frames = depths.shape[0]
+    FBC = 256 if small else 2048
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(vbg, depth, color, extrinsic):
@@ -68,46 +73,206 @@ def main():
             vbg, keys, depth, color, intrinsic, extrinsic, depth_max=3.0
         )
 
-    # --- integration fps (headline) ---
-    vbg = make_vbg()
-    vbg = jax.block_until_ready(step(vbg, depths[0], colors[0], extrinsics[0]))
+    def make():
+        return vbg_mod.create(
+            voxel_size=3.0 / 512 if not small else 0.02,
+            block_resolution=16,
+            block_count=2048 if small else 40960,
+            with_color=True,
+        )
 
-    n_reps = 4
+    vbg = make()
+    vbg = step(vbg, depths[0], colors[0], extrinsics[0])
+    _drain(vbg.tw)
+    n_reps = 3
     t0 = time.perf_counter()
     for _ in range(n_reps):
         for i in range(n_frames):
             vbg = step(vbg, depths[i], colors[i], extrinsics[i])
-    jax.block_until_ready(vbg)
-    dt = time.perf_counter() - t0
-    fps = n_reps * n_frames / dt
+    _drain(vbg.tw)
+    dt = (time.perf_counter() - t0) / (n_reps * n_frames)
+    return 1.0 / dt, vbg
 
-    # --- stage breakdown (fresh grid; touch is not donated) ---
-    vbg2 = make_vbg()
-    t_touch, (keys, _) = timed(touch, vbg2, depths[0], extrinsics[0], n=10)
 
-    # --- raycast fps ---
-    raycast = jax.jit(
-        lambda vbg, extrinsic: vbg_mod.raycast(
-            vbg, intrinsic, extrinsic, depth_min=0.1, depth_max=3.0
-        )
+def bench_raycast(vbg, intrinsic, extrinsic):
+    from open3d_tpu.geometry import voxel_block_grid as vbg_mod
+
+    f = jax.jit(
+        lambda v, E: vbg_mod.raycast(
+            v, intrinsic, E, depth_min=0.1, depth_max=3.0, with_color=False
+        ).depth
     )
-    t_ray, _ = timed(raycast, vbg, extrinsics[0], n=5)
+    dt = timed_loop(f, [(vbg, extrinsic)], n_reps=8)
+    return 1.0 / dt
+
+
+def bench_slam(intrinsic, depths, colors, small=False):
+    from functools import partial
+
+    from open3d_tpu.models import dense_slam
+
+    if small:
+        cfg = dense_slam.SLAMConfig(
+            voxel_size=0.02, block_count=2048, frame_block_capacity=256
+        )
+    else:
+        cfg = dense_slam.SLAMConfig(block_count=40960, frame_block_capacity=2048)
+    model = dense_slam.create_model(cfg)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(model, depth, color, model_depth):
+        return dense_slam.slam_step(model, depth, color, model_depth, intrinsic)
+
+    md = jnp.zeros_like(depths[0])
+    res = step(model, depths[0], colors[0], md)
+    model, md = res.model, res.raycast_depth
+    _drain(md)
+    n = depths.shape[0]
+    t0 = time.perf_counter()
+    for rep in range(2):
+        for i in range(n):
+            res = step(model, depths[i], colors[i], md)
+            model, md = res.model, res.raycast_depth
+    _drain(md)
+    return (2 * n) / (time.perf_counter() - t0)
+
+
+def bench_icp(key, small=False):
+    """Reference harness config: voxel 0.02 downsample, dmax 0.05, 10 iters
+    (cpp/benchmarks/t/pipelines/registration/Registration.cpp:16-42)."""
+    from open3d_tpu.data import synthetic
+    from open3d_tpu.geometry.camera import PinholeCameraIntrinsic
+    from open3d_tpu.geometry.rgbd import pointcloud_from_depth
+    from open3d_tpu.ops import pointcloud as pc_ops
+    from open3d_tpu.pipelines import registration as reg
+
+    if small:
+        intr = PinholeCameraIntrinsic(160, 120, 131.25, 131.25, 79.5, 59.5)
+    else:
+        intr = PinholeCameraIntrinsic(640, 480, 525.0, 525.0, 319.5, 239.5)
+    depths, _, extr, _ = synthetic.render_sequence(2, intrinsic=intr, span=0.15)
+    clouds = []
+    for i in range(2):
+        pcd = pointcloud_from_depth(depths[i], intr, extr[i])
+        down = pc_ops.voxel_down_sample(pcd, 0.02)
+        clouds.append(pc_ops.estimate_normals(down, max_nn=30))
+    N_ITER = 10
+    f = jax.jit(
+        lambda s, t: reg.icp(
+            s,
+            t,
+            0.05,
+            estimation=reg.TransformationEstimationPointToPlane(),
+            criteria=reg.ICPConvergenceCriteria(
+                max_iteration=N_ITER, relative_fitness=0.0, relative_rmse=0.0
+            ),
+        ).transformation
+    )
+    dt = timed_loop(f, [(clouds[0], clouds[1])], n_reps=3)
+    return N_ITER / dt
+
+
+def bench_odometry(intrinsic, depths, colors):
+    from open3d_tpu.geometry.rgbd import RGBDImage
+    from open3d_tpu.pipelines import odometry as odo
+
+    f = jax.jit(
+        lambda d0, c0, d1, c1: odo.rgbd_odometry_multi_scale(
+            RGBDImage(color=c0, depth=d0),
+            RGBDImage(color=c1, depth=d1),
+            intrinsic,
+            method=odo.HYBRID,
+        ).transformation
+    )
+    dt = timed_loop(f, [(depths[0], colors[0], depths[1], colors[1])], n_reps=5)
+    return 1.0 / dt
+
+
+def bench_fpfh_ransac(key, small=False):
+    from open3d_tpu.data import synthetic
+    from open3d_tpu.geometry.camera import PinholeCameraIntrinsic
+    from open3d_tpu.geometry.rgbd import pointcloud_from_depth
+    from open3d_tpu.ops import pointcloud as pc_ops
+    from open3d_tpu.pipelines import features
+    from open3d_tpu.pipelines import global_registration as gr
+
+    if small:
+        intr = PinholeCameraIntrinsic(160, 120, 131.25, 131.25, 79.5, 59.5)
+    else:
+        intr = PinholeCameraIntrinsic(640, 480, 525.0, 525.0, 319.5, 239.5)
+    depths, _, extr, _ = synthetic.render_sequence(2, intrinsic=intr, span=0.4)
+    clouds, fpfhs = [], []
+
+    def prep(depth, E):
+        pcd = pointcloud_from_depth(depth, intr, E)
+        down = pc_ops.voxel_down_sample(pcd, 0.05)
+        down = pc_ops.estimate_normals(down, max_nn=30, radius=0.1)
+        return down, features.compute_fpfh_feature(down, radius=0.25, max_nn=64)
+
+    pj = jax.jit(prep)
+    for i in range(2):
+        d, f = pj(depths[i], extr[i])
+        clouds.append(d)
+        fpfhs.append(f)
+
+    def run(s, t, fs, ft, k):
+        return gr.registration_ransac_based_on_feature_matching(
+            s, t, fs, ft, max_correspondence_distance=0.07,
+            criteria=gr.RANSACConvergenceCriteria(max_iteration=4096),
+            key=k,
+        ).transformation
+
+    rj = jax.jit(run)
+    dt_prep = timed_loop(pj, [(depths[0], extr[0])], n_reps=3)
+    dt_ransac = timed_loop(
+        rj, [(clouds[0], clouds[1], fpfhs[0], fpfhs[1], key)], n_reps=3
+    )
+    return dt_prep + dt_ransac
+
+
+def main():
+    import os
+
+    from open3d_tpu.data import synthetic
+    from open3d_tpu.geometry.camera import PinholeCameraIntrinsic
+
+    small = bool(os.environ.get("BENCH_SMALL"))  # CPU smoke-test config
+    if small:
+        intrinsic = PinholeCameraIntrinsic(160, 128, 131.25, 131.25, 79.5, 63.5)
+        n_frames = 2
+    else:
+        intrinsic = PinholeCameraIntrinsic(640, 480, 525.0, 525.0, 319.5, 239.5)
+        n_frames = 8
+    depths, colors, extrinsics, _ = synthetic.render_sequence(
+        n_frames, intrinsic=intrinsic, span=0.8
+    )
+    _drain(depths)
+
+    t_int, vbg = bench_integration(intrinsic, depths, colors, extrinsics, small)
+    raycast_fps = bench_raycast(vbg, intrinsic, extrinsics[0])
+    slam_fps = bench_slam(intrinsic, depths, colors, small)
+    key = jax.random.PRNGKey(0)
+    icp_ips = bench_icp(key, small)
+    odo_fps = bench_odometry(intrinsic, depths, colors)
+    fpfh_s = bench_fpfh_ransac(key, small)
 
     extra = {
-        "touch_ms": round(t_touch * 1e3, 2),
-        "frame_ms": round(dt / (n_reps * n_frames) * 1e3, 2),
-        "raycast_fps": round(1.0 / t_ray, 1),
-        "raycast_vs_30fps": round(1.0 / t_ray / RAYCAST_BASELINE_FPS, 2),
-        "backend": jax.default_backend(),
+        "raycast_fps": round(raycast_fps, 2),
+        "raycast_vs_30fps": round(raycast_fps / RAYCAST_TARGET_FPS, 3),
+        "slam_fps": round(slam_fps, 2),
+        "slam_vs_30fps": round(slam_fps / RAYCAST_TARGET_FPS, 3),
+        "icp_iters_per_s": round(icp_ips, 1),
+        "odometry_fps": round(odo_fps, 2),
+        "fpfh_ransac_s": round(fpfh_s, 3),
+        "sync": "honest (device->host drain; axon block_until_ready unreliable)",
     }
-
     print(
         json.dumps(
             {
                 "metric": "tsdf_integration_fps",
-                "value": round(fps, 2),
-                "unit": "frames/s (640x480, voxel 5.9mm, 16^3 blocks)",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "value": round(t_int, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(t_int / BASELINE_FPS, 3),
                 "extra": extra,
             }
         )

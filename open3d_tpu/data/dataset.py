@@ -176,8 +176,17 @@ def load_tum_sequence(root: str, max_depth_diff: float = 0.02) -> RGBDSequence:
         idx = np.searchsorted(gts, ts)
         idx = np.clip(idx, 0, len(gts) - 1)
         gt = gtp[idx]
-    # TUM freiburg1 intrinsics (the standard calibrated values)
-    intr = PinholeCameraIntrinsic(640, 480, 517.3, 516.5, 318.6, 255.3)
+    # TUM freiburg1 intrinsics (the standard calibrated values), unless the
+    # sequence carries its own calibration file (written by
+    # write_tum_sequence for non-fr1 cameras)
+    calib = os.path.join(root, "intrinsic.txt")
+    if os.path.isfile(calib):
+        w, h, fx, fy, cx, cy = open(calib).read().split()
+        intr = PinholeCameraIntrinsic(
+            int(w), int(h), float(fx), float(fy), float(cx), float(cy)
+        )
+    else:
+        intr = PinholeCameraIntrinsic(640, 480, 517.3, 516.5, 318.6, 255.3)
     return RGBDSequence(
         color_paths=[p[1] for p in pairs],
         depth_paths=[p[2] for p in pairs],
@@ -186,6 +195,57 @@ def load_tum_sequence(root: str, max_depth_diff: float = 0.02) -> RGBDSequence:
         gt_trajectory=gt,
         timestamps=ts,
     )
+
+
+def write_tum_sequence(
+    root: str,
+    depths,  # (N, H, W) metric float
+    colors,  # (N, H, W, 3) float [0, 1]
+    trajectory,  # (N, 4, 4) camera->world ground truth
+    intrinsic=None,
+    depth_scale: float = 5000.0,
+    fps: float = 30.0,
+) -> str:
+    """Write frames to disk in the exact TUM RGB-D benchmark layout
+    (rgb/ + depth/ 16-bit PNGs, rgb.txt / depth.txt / groundtruth.txt with
+    quaternion poses) so `load_tum_sequence` + run_system exercise the SAME
+    code path as real fr1/desk data. See DATA.md for the real-data status."""
+    import numpy as np
+
+    from open3d_tpu.io import write_depth, write_image
+    from open3d_tpu.io.trajectory import write_trajectory_tum
+
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    n = len(depths)
+    ts = np.arange(n, dtype=np.float64) / fps
+    with open(os.path.join(root, "rgb.txt"), "w") as fr, open(
+        os.path.join(root, "depth.txt"), "w"
+    ) as fd:
+        fr.write("# color images\n# timestamp filename\n")
+        fd.write("# depth maps\n# timestamp filename\n")
+        for i in range(n):
+            rgb_rel = f"rgb/{ts[i]:.6f}.png"
+            dep_rel = f"depth/{ts[i]:.6f}.png"
+            write_image(
+                os.path.join(root, rgb_rel),
+                (np.clip(np.asarray(colors[i]), 0, 1) * 255).astype(np.uint8),
+            )
+            write_depth(
+                os.path.join(root, dep_rel), np.asarray(depths[i]), depth_scale
+            )
+            fr.write(f"{ts[i]:.6f} {rgb_rel}\n")
+            fd.write(f"{ts[i]:.6f} {dep_rel}\n")
+    write_trajectory_tum(
+        os.path.join(root, "groundtruth.txt"), np.asarray(trajectory), ts
+    )
+    if intrinsic is not None:
+        with open(os.path.join(root, "intrinsic.txt"), "w") as fi:
+            fi.write(
+                f"{intrinsic.width} {intrinsic.height} {intrinsic.fx} "
+                f"{intrinsic.fy} {intrinsic.cx} {intrinsic.cy}\n"
+            )
+    return root
 
 
 def load_redwood_sequence(root: str) -> RGBDSequence:

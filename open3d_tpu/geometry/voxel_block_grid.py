@@ -306,7 +306,9 @@ def integrate(
     rows = jnp.where(ok, slot, C)  # failed/invalid blocks -> dump row
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from open3d_tpu.core.platform import is_tpu
+
+        use_pallas = is_tpu()
 
     if depth_scale != 1.0:
         depth = depth / depth_scale
@@ -657,17 +659,30 @@ def raycast(
     with_color: bool = True,
     use_range_map: bool = True,
     max_probes: int = 8,
+    use_pallas: Optional[bool] = None,
 ) -> RaycastResult:
     """Render depth/vertex/color maps by sphere-tracing the TSDF
     (ref: VoxelBlockGrid::RayCast, .cpp:328-402; kernel Impl.h:564-1100).
 
-    Pass 1 (EstimateRange analog) bounds every ray to its tile's active-block
+    On TPU (use_pallas) the march runs in the Pallas tile kernel
+    (ops/pallas/raycast.py — per-tile candidate block lists, gather-DMA'd
+    payloads, one-hot MXU sampling; ~100x the XLA gather march). The XLA
+    path below is the portable reference implementation:
+    pass 1 (EstimateRange analog) bounds every ray to its tile's active-block
     depth range; pass 2 marches THROUGH A DENSE BLOCK INDEX (one gather per
     sample instead of a hash-probe loop): unallocated space advances by
     0.5*block_size, allocated space by max(0.75*tsdf*trunc, voxel_size); a
     +-to-- sign change is refined by bisection on the trilinear TSDF + a
     final secant, like the reference's in-kernel trilinear refinement.
     """
+    if use_pallas is None:
+        from open3d_tpu.core.platform import is_tpu
+
+        use_pallas = is_tpu() and vbg.block_resolution == 16
+    if use_pallas:
+        return _raycast_pallas(
+            vbg, intrinsic, extrinsic, depth_min, depth_max, with_color
+        )
     H, W = intrinsic.height, intrinsic.width
     # `anchor` is a runtime 1.0: multiplying the pixel-ray table by it stops
     # XLA from folding the (H*W, 3) grid into an executable LITERAL — the
@@ -777,6 +792,43 @@ def raycast(
     else:
         color_img = jnp.zeros((H, W, 3), jnp.float32)
     return RaycastResult(depth=depth_img, vertex=vertex, color=color_img, mask=mask.reshape(H, W))
+
+
+def _raycast_pallas(
+    vbg: VoxelBlockGrid,
+    intrinsic: PinholeCameraIntrinsic,
+    extrinsic: jnp.ndarray,
+    depth_min: float,
+    depth_max: float,
+    with_color: bool,
+) -> RaycastResult:
+    """TPU fast path: Pallas tile-march depth + XLA vertex/color assembly."""
+    from open3d_tpu.ops.pallas import raycast as prc
+
+    H, W = intrinsic.height, intrinsic.width
+    depth_img, _ = prc.raycast_depth(
+        vbg, intrinsic, extrinsic, depth_min=depth_min, depth_max=depth_max
+    )
+    mask = depth_img > 0
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    x = (jnp.zeros((H, 1)) + u - intrinsic.cx) / intrinsic.fx
+    y = (v + jnp.zeros((1, W)) - intrinsic.cy) / intrinsic.fy
+    R = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    origin = -R.T @ t
+    dirs = jnp.stack([x, y, jnp.ones_like(x)], axis=-1) @ R
+    p_hit = origin + dirs * depth_img[..., None]
+    vertex = jnp.where(mask[..., None], p_hit, 0.0)
+    if with_color and vbg.has_color:
+        extent = min(int(2.0 * depth_max / vbg.block_size) + 3, 128)
+        bindex = build_block_index(vbg, origin, extent)
+        voxel = jnp.floor(p_hit / vbg.voxel_size).astype(jnp.int32)
+        col = _sample_color_indexed(vbg, bindex, voxel.reshape(-1, 3))
+        color_img = jnp.where(mask[..., None], col.reshape(H, W, 3), 0.0)
+    else:
+        color_img = jnp.zeros((H, W, 3), jnp.float32)
+    return RaycastResult(depth=depth_img, vertex=vertex, color=color_img, mask=mask)
 
 
 # ---------------------------------------------------------------------------

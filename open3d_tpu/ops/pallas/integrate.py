@@ -312,7 +312,9 @@ def integrate_blocks(
 ):
     """Sample + fuse M touched blocks in place. Returns (tw', color')."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
+        from open3d_tpu.core.platform import is_tpu
+
+        interpret = not is_tpu()  # CPU tests run interpreted
     C1, B3 = tw_buf.shape
     assert B3 == _B3
     M = slots.shape[0]

@@ -308,10 +308,13 @@ def _march_kernel(
                 rows_sel, jnp.broadcast_to(lane, (NR, 128)), axis=1
             )[:, :1]
             ok = has & inb & (val < 1.5)
-            cross = (pv > 0) & (pv < 1.5) & (val <= 0) & ok & (zm > pz)
+            cross = (pv > 0) & (val <= 0) & ok & (zm > pz)
             zc = pz + pv / jnp.maximum(pv - val, 1e-6) * (zm - pz)
             zhit = jnp.where(cross & (zc < zhit), zc, zhit)
-            pv = jnp.where(ok, val, _SENTINEL)
+            # unknown space reads as "empty positive" (pv=1), matching the
+            # reference march: a ray entering negative TSDF straight from
+            # unallocated space still registers the crossing.
+            pv = jnp.where(ok, val, 1.0)
             pz = jnp.where(ok | (zm > pz), zm, pz)
             return zhit, pv, pz
 
@@ -320,7 +323,7 @@ def _march_kernel(
             inner = sample_body(float(m), inner)
         return inner
 
-    init = (inf, jnp.full((NR, 1), _SENTINEL, jnp.float32), jnp.zeros((NR, 1), jnp.float32))
+    init = (inf, jnp.full((NR, 1), 1.0, jnp.float32), jnp.zeros((NR, 1), jnp.float32))
     zhit, _, _ = jax.lax.fori_loop(0, nk_tot, block_body, init)
     zhit = jnp.where(zhit < big, zhit, 0.0)
     zhit_ref[:] = zhit.reshape(1, 1, NR)

@@ -95,7 +95,9 @@ def fuse_blocks(tw_buf, color_buf, rows, tsdf_new, wn, cnew, weight_max=10000.0)
     M = rows.shape[0]
     S = _SUB
     L = B3 // S
-    interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
+    from open3d_tpu.core.platform import is_tpu
+
+    interpret = not is_tpu()  # CPU tests run interpreted
     tw3 = tw_buf.reshape(C1, S, L)
     new_spec = pl.BlockSpec((1, S, L), lambda i, rows: (i, 0, 0))
     row_spec = pl.BlockSpec((1, S, L), lambda i, rows: (rows[i], 0, 0))

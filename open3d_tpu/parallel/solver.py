@@ -129,7 +129,7 @@ def solve_pose_graph_cg(
                 mesh=mesh,
                 in_specs=(espec,) + extra_in,
                 out_specs=out_spec,
-                check_rep=False,
+                check_vma=False,
             )
 
         b = sharded(
@@ -334,7 +334,7 @@ def ba_gauss_newton(
                 mesh=mesh,
                 in_specs=(rep, rep, ospec) + (rep,) * n_extra,
                 out_specs=rep if out_specs is None else out_specs,
-                check_rep=False,
+                check_vma=False,
             )
 
         locals_f = sh(
