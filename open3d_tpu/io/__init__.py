@@ -124,6 +124,21 @@ def read_triangle_mesh(path: str):
                     for k in range(1, len(ids) - 1):  # fan-triangulate
                         tris.append([ids[0], ids[k], ids[k + 1]])
         return TriangleMesh.create(np.asarray(verts, np.float32), np.asarray(tris, np.int32))
+    if ext == ".stl":
+        from open3d_tpu.io import mesh_formats
+
+        verts, tris = mesh_formats.read_stl(path)
+        return TriangleMesh.create(verts, tris)
+    if ext == ".off":
+        from open3d_tpu.io import mesh_formats
+
+        verts, tris = mesh_formats.read_off(path)
+        return TriangleMesh.create(verts, tris)
+    if ext in (".gltf", ".glb"):
+        from open3d_tpu.io import mesh_formats
+
+        verts, tris = mesh_formats.read_glb(path)
+        return TriangleMesh.create(verts, tris)
     raise ValueError(f"unsupported mesh format: {ext}")
 
 
@@ -138,6 +153,18 @@ def write_triangle_mesh(path: str, mesh) -> None:
                 f.write(f"v {v[0]:.7f} {v[1]:.7f} {v[2]:.7f}\n")
             for t in tris:
                 f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")
+    elif ext == ".stl":
+        from open3d_tpu.io import mesh_formats
+
+        mesh_formats.write_stl(path, verts, tris)
+    elif ext == ".off":
+        from open3d_tpu.io import mesh_formats
+
+        mesh_formats.write_off(path, verts, tris)
+    elif ext in (".gltf", ".glb"):
+        from open3d_tpu.io import mesh_formats
+
+        mesh_formats.write_glb(path, verts, tris)
     else:
         raise ValueError(f"unsupported mesh format: {ext}")
 

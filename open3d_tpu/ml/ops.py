@@ -435,3 +435,83 @@ def sparse_conv(features, coords, weights, queries_coords=None):
                 w = weights[ox + half, oy + half, oz + half]  # (Cin,Cout)
                 out = out + f @ w
     return out
+
+
+# --------------------------------------------------- roi pool / devoxelize --
+def roi_pool(points, features, boxes, num_sampled_points: int = 512):
+    """Pool points + features inside rotated 3D ROI boxes
+    (ref: ml/contrib/RoiPoolKernel.cu roipool3dLauncher, PointRCNN-style:
+    per box, collect points whose (x, z) lie in the yaw-rotated footprint
+    and y within the height span, padded/truncated to num_sampled_points).
+
+    points (N, 3), features (N, C), boxes (B, 7) [cx, cy, cz, dx, dy, dz,
+    heading]. Returns (pooled (B, S, 3 + C), empty (B,) bool). TPU shape
+    rule: fixed S with repeat-padding of the first hit (the reference pads
+    with point 0 of the box the same way).
+    """
+    N = points.shape[0]
+    S = int(num_sampled_points)
+
+    def one_box(box):
+        c = box[:3]
+        d = box[3:6]
+        yaw = box[6]
+        ca, sa = jnp.cos(-yaw), jnp.sin(-yaw)
+        rel = points - c
+        # rotate into box frame around the up (z) axis
+        x = rel[:, 0] * ca - rel[:, 1] * sa
+        y = rel[:, 0] * sa + rel[:, 1] * ca
+        z = rel[:, 2]
+        inside = (
+            (jnp.abs(x) <= d[0] * 0.5)
+            & (jnp.abs(y) <= d[1] * 0.5)
+            & (jnp.abs(z) <= d[2] * 0.5)
+        )
+        from open3d_tpu.core.masking import compact_indices
+
+        idx, cnt = compact_indices(inside, S)
+        live = jnp.arange(S) < cnt
+        first = jnp.maximum(idx[0], 0)
+        sel = jnp.where(live, jnp.maximum(idx, 0), first)  # repeat-pad
+        pooled = jnp.concatenate([points[sel], features[sel]], axis=-1)
+        pooled = jnp.where((cnt > 0), pooled, 0.0)
+        return pooled, cnt == 0
+
+    return jax.vmap(one_box)(boxes)
+
+
+def trilinear_devoxelize(voxel_features, coords, resolution: int):
+    """Trilinear interpolation of dense voxel features at point coords
+    (ref: ml/contrib/TrilinearDevoxelize.cu, PVCNN). voxel_features
+    (C, R, R, R); coords (N, 3) in voxel units [0, R-1]. Returns
+    (features (N, C), indices (N, 8) int32, weights (N, 8)) — indices and
+    weights are what the reference returns for the backward pass; here
+    jax.grad differentiates through directly as well."""
+    R = int(resolution)
+    C = voxel_features.shape[0]
+    vf = voxel_features.reshape(C, -1)
+
+    g = jnp.clip(coords, 0.0, R - 1 - 1e-5)
+    g0 = jnp.floor(g).astype(jnp.int32)
+    f = g - g0.astype(jnp.float32)
+
+    idxs = []
+    wts = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                cx = jnp.minimum(g0[:, 0] + dx, R - 1)
+                cy = jnp.minimum(g0[:, 1] + dy, R - 1)
+                cz = jnp.minimum(g0[:, 2] + dz, R - 1)
+                idxs.append(cx * R * R + cy * R + cz)
+                w = (
+                    jnp.where(dx, f[:, 0], 1 - f[:, 0])
+                    * jnp.where(dy, f[:, 1], 1 - f[:, 1])
+                    * jnp.where(dz, f[:, 2], 1 - f[:, 2])
+                )
+                wts.append(w)
+    indices = jnp.stack(idxs, axis=-1)  # (N, 8)
+    weights = jnp.stack(wts, axis=-1)  # (N, 8)
+    gathered = vf[:, indices]  # (C, N, 8)
+    out = jnp.sum(gathered * weights[None], axis=-1)  # (C, N)
+    return out.T, indices.astype(jnp.int32), weights

@@ -212,3 +212,42 @@ class TestNative:
         d0, c0 = seq.read_frame(0)
         np.testing.assert_allclose(frames[0][0], d0, atol=1e-6)
         np.testing.assert_allclose(frames[0][1], c0, atol=1e-6)
+
+
+class TestMeshFormats:
+    """STL / OFF / GLB round-trips (ref: io/file_format/FileSTL.cpp,
+    FileOFF.cpp, FileGLTF.cpp)."""
+
+    def _mesh(self):
+        import numpy as np
+        v = np.asarray(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32
+        )
+        t = np.asarray([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], np.int32)
+        return v, t
+
+    def _roundtrip(self, tmp_path, ext):
+        import numpy as np
+        from open3d_tpu.geometry.trianglemesh import TriangleMesh
+        from open3d_tpu.io import read_triangle_mesh, write_triangle_mesh
+
+        v, t = self._mesh()
+        mesh = TriangleMesh.create(v, t)
+        p = str(tmp_path / f"m{ext}")
+        write_triangle_mesh(p, mesh)
+        back = read_triangle_mesh(p)
+        v2, t2 = back.compact()
+        # same vertex SET and same triangle count (STL welds/reorders)
+        assert len(t2) == len(t)
+        sv = {tuple(np.round(x, 5)) for x in np.asarray(v)}
+        sv2 = {tuple(np.round(x, 5)) for x in np.asarray(v2)}
+        assert sv == sv2
+
+    def test_stl_roundtrip(self, tmp_path):
+        self._roundtrip(tmp_path, ".stl")
+
+    def test_off_roundtrip(self, tmp_path):
+        self._roundtrip(tmp_path, ".off")
+
+    def test_glb_roundtrip(self, tmp_path):
+        self._roundtrip(tmp_path, ".glb")

@@ -156,3 +156,77 @@ def test_sparse_conv_neighbor_sum():
     w = jnp.ones((3, 3, 3, 1, 1))  # box filter: sums all occupied taps
     out = np.asarray(ops.sparse_conv(feat, coords, w)).ravel()
     np.testing.assert_allclose(out, [2.0, 3.0, 2.0], atol=1e-6)
+
+
+def test_roi_pool_inside_outside():
+    from open3d_tpu.ml import ops as mlops
+
+    pts = jnp.asarray(
+        [[0.0, 0.0, 0.0], [0.4, 0.0, 0.0], [2.0, 0.0, 0.0], [0.0, 0.0, 0.9]],
+        jnp.float32,
+    )
+    feats = jnp.arange(4, dtype=jnp.float32)[:, None]
+    boxes = jnp.asarray([[0, 0, 0, 1.0, 1.0, 1.0, 0.0]], jnp.float32)
+    pooled, empty = mlops.roi_pool(pts, feats, boxes, num_sampled_points=8)
+    assert not bool(empty[0])
+    got = set(np.asarray(pooled)[0, :, 3].tolist())
+    assert 0.0 in got and 1.0 in got  # the two inside points
+    assert 2.0 not in got  # x=2 is outside
+    assert 3.0 not in got  # z=0.9 above half-height
+
+    # rotated box: yaw pi/2 swaps the footprint axes
+    boxes_r = jnp.asarray([[0, 0, 0, 0.5, 5.0, 1.0, np.pi / 2]], jnp.float32)
+    pooled_r, empty_r = mlops.roi_pool(pts, feats, boxes_r, num_sampled_points=8)
+    got_r = set(np.asarray(pooled_r)[0, :, 3].tolist())
+    assert 2.0 in got_r  # the long axis now covers x
+
+
+def test_roi_pool_empty_box():
+    from open3d_tpu.ml import ops as mlops
+
+    pts = jnp.zeros((4, 3), jnp.float32)
+    feats = jnp.zeros((4, 2), jnp.float32)
+    boxes = jnp.asarray([[10, 10, 10, 1, 1, 1, 0.3]], jnp.float32)
+    pooled, empty = mlops.roi_pool(pts, feats, boxes, num_sampled_points=4)
+    assert bool(empty[0])
+    assert float(jnp.abs(pooled).max()) == 0.0
+
+
+def test_trilinear_devoxelize_matches_manual():
+    from open3d_tpu.ml import ops as mlops
+
+    R, C = 4, 2
+    rng = np.random.default_rng(0)
+    vox = jnp.asarray(rng.normal(size=(C, R, R, R)).astype(np.float32))
+    pts = jnp.asarray([[1.25, 2.5, 0.75], [0.0, 0.0, 0.0]], jnp.float32)
+    out, idx, w = mlops.trilinear_devoxelize(vox, pts, R)
+    assert out.shape == (2, C) and idx.shape == (2, 8) and w.shape == (2, 8)
+    np.testing.assert_allclose(np.asarray(jnp.sum(w, -1)), 1.0, atol=1e-6)
+    # manual trilerp for point 0
+    from itertools import product
+
+    p = np.asarray([1.25, 2.5, 0.75])
+    g0 = np.floor(p).astype(int)
+    f = p - g0
+    expect = np.zeros(C)
+    for dx, dy, dz in product((0, 1), repeat=3):
+        wt = (f[0] if dx else 1 - f[0]) * (f[1] if dy else 1 - f[1]) * (
+            f[2] if dz else 1 - f[2]
+        )
+        expect += wt * np.asarray(vox)[:, g0[0] + dx, g0[1] + dy, g0[2] + dz]
+    np.testing.assert_allclose(np.asarray(out[0]), expect, rtol=1e-5)
+
+
+def test_trilinear_devoxelize_grad_flows():
+    from open3d_tpu.ml import ops as mlops
+
+    R, C = 3, 1
+    vox = jnp.ones((C, R, R, R), jnp.float32)
+    pts = jnp.asarray([[1.2, 1.3, 0.4]], jnp.float32)
+
+    def loss(v):
+        out, _, _ = mlops.trilinear_devoxelize(v, pts, R)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(vox)
+    assert float(jnp.abs(g).sum()) > 0
