@@ -48,6 +48,7 @@ def pytest_configure(config):
 # minute for iteration, the full suite stays the merge gate (round-2
 # verdict item #9). New slow tests belong in this list.
 _SLOW_TESTS = {
+    "tests/test_bvh.py",
     "tests/test_tum_pipeline.py",
     "tests/test_pallas_raycast.py",
     "tests/test_reconstruction.py::TestShardedRunSystem",
