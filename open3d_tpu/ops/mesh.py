@@ -409,3 +409,122 @@ def fill_holes(mesh: TriangleMesh, hole_size: int = 128) -> TriangleMesh:
     return TriangleMesh.create(
         v, tris, vertex_mask=mesh.vertex_mask, triangle_mask=tm
     )
+
+
+# ---------------------------------------------------------------------------
+# As-rigid-as-possible deformation
+# ---------------------------------------------------------------------------
+
+
+def deform_as_rigid_as_possible(
+    mesh: TriangleMesh,
+    constraint_ids,
+    constraint_positions,
+    max_iter: int = 10,
+    n_cg: int = 32,
+    max_degree: int = 16,
+):
+    """ARAP surface deformation (Sorkine-Alexa 2007; ref:
+    geometry/TriangleMeshDeformation.cpp DeformAsRigidAsPossible).
+
+    Alternates the classic local/global steps, all shape-static:
+    - local: per-vertex rotation R_i from the SVD of the covariance of
+      original vs current edge fans (batched 3x3 SVD on device);
+    - global: the uniform-weight Laplacian system L p' = b(R) solved
+      matrix-free by CG with constraints enforced by a large diagonal
+      penalty (the reference uses a sparse Cholesky with hard rows).
+    Vertex neighborhoods use a fixed max_degree ring buffer (TPU static
+    shapes); the reference's cotangent weights are replaced by uniform
+    weights (documented divergence — identical fixed points for regular
+    meshes, slightly different interior fairing on irregular ones).
+
+    Returns a new TriangleMesh with deformed vertex positions.
+    """
+    V = mesh.vertices.shape[0]
+    tris = mesh.triangles
+    vmask = mesh.vertex_mask
+
+    # fixed-degree adjacency: scatter each directed edge into a ring buffer
+    e_src = jnp.concatenate([tris[:, 0], tris[:, 1], tris[:, 2], tris[:, 1], tris[:, 2], tris[:, 0]])
+    e_dst = jnp.concatenate([tris[:, 1], tris[:, 2], tris[:, 0], tris[:, 0], tris[:, 1], tris[:, 2]])
+    tri_live = jnp.repeat(mesh.triangle_mask, 3)
+    live = jnp.concatenate([tri_live, tri_live])
+    # slot per (src): running count via sort by src then position-in-segment
+    order = jnp.argsort(jnp.where(live, e_src, V).astype(jnp.int32), stable=True)
+    s_sorted = e_src[order]
+    l_sorted = live[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), s_sorted[1:] != s_sorted[:-1]]
+    )
+    seg_pos = jnp.arange(s_sorted.shape[0]) - jnp.maximum.accumulate(
+        jnp.where(first, jnp.arange(s_sorted.shape[0]), 0)
+    )
+    slot = jnp.where(l_sorted & (seg_pos < max_degree), seg_pos, max_degree)
+    nbr = jnp.full((V, max_degree + 1), -1, jnp.int32)
+    nbr = nbr.at[jnp.where(l_sorted, s_sorted, V), slot].set(
+        e_dst[order].astype(jnp.int32), mode="drop"
+    )
+    nbr = nbr[:, :max_degree]  # (V, D) neighbor ids, -1 = empty
+    nmask = nbr >= 0
+    nsafe = jnp.maximum(nbr, 0)
+    deg = jnp.sum(nmask, axis=1).astype(jnp.float32)
+
+    p0 = mesh.vertices
+    cid = jnp.asarray(constraint_ids, jnp.int32)
+    cpos = jnp.asarray(constraint_positions, jnp.float32)
+    pen = jnp.zeros((V,), jnp.float32).at[cid].set(1e4)
+    pen_b = jnp.zeros((V, 3), jnp.float32).at[cid].set(1e4 * cpos)
+
+    def laplacian_apply(p):
+        nb = p[nsafe] * nmask[..., None]
+        return deg[:, None] * p - jnp.sum(nb, axis=1)
+
+    def global_step(R):
+        # b_i = sum_j 0.5 (R_i + R_j)(p0_i - p0_j) + penalty terms
+        d0 = p0[:, None, :] - p0[nsafe]  # (V, D, 3)
+        Rsum = 0.5 * (R[:, None, :, :] + R[nsafe])
+        b = jnp.sum(
+            jnp.einsum("vdij,vdj->vdi", Rsum, d0) * nmask[..., None], axis=1
+        )
+        b = b + pen_b
+
+        def A(p):
+            return laplacian_apply(p) + pen[:, None] * p
+
+        x = p0
+        r = b - A(x)
+        pdir = r
+        rs = jnp.sum(r * r)
+
+        def body(k, st):
+            x, r, pdir, rs = st
+            Ap = A(pdir)
+            alpha = rs / jnp.maximum(jnp.sum(pdir * Ap), 1e-30)
+            x = x + alpha * pdir
+            r = r - alpha * Ap
+            rs2 = jnp.sum(r * r)
+            pdir = r + (rs2 / jnp.maximum(rs, 1e-30)) * pdir
+            return (x, r, pdir, rs2)
+
+        x, _, _, _ = jax.lax.fori_loop(0, n_cg, body, (x, r, pdir, rs))
+        return x
+
+    def local_step(p):
+        d0 = (p0[:, None, :] - p0[nsafe]) * nmask[..., None]
+        d1 = (p[:, None, :] - p[nsafe]) * nmask[..., None]
+        S = jnp.einsum("vdi,vdj->vij", d0, d1)
+        U, _, Vt = jnp.linalg.svd(S + 1e-9 * jnp.eye(3))
+        det = jnp.linalg.det(jnp.einsum("vij,vjk->vik", U, Vt).transpose(0, 2, 1))
+        D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+        R = jnp.einsum("vji,vj,vkj->vik", Vt, D, U)  # V diag(D) U^T transposed
+        return R
+
+    def outer(k, p):
+        R = local_step(p)
+        return global_step(R)
+
+    p = jax.lax.fori_loop(0, max_iter, outer, p0)
+    p = p.at[cid].set(cpos)  # exact constraints
+    import dataclasses as _dc
+
+    return _dc.replace(mesh, vertices=jnp.where(vmask[:, None], p, mesh.vertices))

@@ -144,3 +144,52 @@ def test_fill_holes_respects_size_cutoff():
     )
     filled = mo.fill_holes(holed, hole_size=3)  # loop is longer than 3
     assert _boundary_edge_count(filled) == _boundary_edge_count(holed)
+
+
+class TestARAP:
+    """(ref: geometry/TriangleMeshDeformation.cpp DeformAsRigidAsPossible)"""
+
+    def _grid_mesh(self, n=9, extent=1.0):
+        xs = np.linspace(0, extent, n)
+        X, Y = np.meshgrid(xs, xs)
+        verts = np.stack([X.ravel(), Y.ravel(), np.zeros(n * n)], -1).astype(np.float32)
+        tris = []
+        for i in range(n - 1):
+            for j in range(n - 1):
+                a = i * n + j
+                tris.append([a, a + 1, a + n])
+                tris.append([a + 1, a + n + 1, a + n])
+        return TriangleMesh.create(verts, np.asarray(tris, np.int32))
+
+    def test_arap_lifts_handle_smoothly(self):
+        n = 9
+        mesh = self._grid_mesh(n)
+        # pin the four corners, lift the center
+        corners = [0, n - 1, n * (n - 1), n * n - 1]
+        center = (n // 2) * n + n // 2
+        cid = np.asarray(corners + [center], np.int32)
+        cpos = np.asarray(mesh.vertices)[cid].copy()
+        cpos[-1, 2] = 0.3
+        out = mo.deform_as_rigid_as_possible(mesh, cid, cpos, max_iter=8)
+        v = np.asarray(out.vertices)
+        # constraints met exactly
+        np.testing.assert_allclose(v[cid], cpos, atol=1e-5)
+        # center lifted, neighbors follow smoothly (between 0 and the peak)
+        mid_edge = (n // 2) * n + n // 2 - 1
+        assert 0.03 < v[mid_edge, 2] < 0.3
+        # far corners' neighbors barely move
+        assert abs(v[1, 2]) < 0.1
+        # no NaNs / explosions
+        assert np.isfinite(v).all() and np.abs(v).max() < 2.0
+
+    def test_arap_rigid_motion_is_free(self):
+        # translating ALL constraints translates the whole mesh (residual ~0)
+        mesh = self._grid_mesh(5)
+        cid = np.asarray([0, 4, 20, 24], np.int32)
+        shift = np.asarray([0.2, -0.1, 0.4], np.float32)
+        cpos = np.asarray(mesh.vertices)[cid] + shift
+        out = mo.deform_as_rigid_as_possible(mesh, cid, cpos, max_iter=12)
+        v = np.asarray(out.vertices)
+        np.testing.assert_allclose(
+            v, np.asarray(mesh.vertices) + shift, atol=2e-2
+        )

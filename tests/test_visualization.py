@@ -1,6 +1,7 @@
 """Viewer-bridge tests: msgpack framing, array codec, ZMQ loopback, draw()."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from open3d_tpu.geometry.pointcloud import PointCloud
@@ -76,3 +77,53 @@ def test_draw_writes_png(tmp_path):
     import os
 
     assert os.path.getsize(out) > 1000
+
+
+class TestLiveZMQReceiver:
+    """Round-trip over a REAL ZeroMQ socket: a background REP receiver
+    (the ZMQReceiver analog) decodes set_mesh_data requests from the
+    msgpack wire schema — closes the round-2 'untested against a live
+    receiver' gap (io/rpc/ZMQReceiver.cpp)."""
+
+    def test_set_point_cloud_over_socket(self):
+        zmq = pytest.importorskip("zmq")
+        import threading
+
+        import msgpack
+
+        from open3d_tpu.visualization import rpc
+
+        addr = "tcp://127.0.0.1:51999"
+        received = {}
+        ready = threading.Event()
+
+        def server():
+            ctx = zmq.Context.instance()
+            sock = ctx.socket(zmq.REP)
+            sock.bind(addr)
+            ready.set()
+            raw = sock.recv()
+            msg_id, body = rpc.unpack_request(raw)
+            received["msg_id"] = msg_id
+            received["body"] = body
+            reply = msgpack.packb({"status": {"code": 0, "str": "OK"}})
+            sock.send(msgpack.packb("status", use_bin_type=True) + reply)
+            sock.close()
+
+        th = threading.Thread(target=server, daemon=True)
+        th.start()
+        assert ready.wait(5)
+
+        from open3d_tpu.geometry.pointcloud import PointCloud
+
+        pcd = PointCloud.create(jnp.asarray(np.random.default_rng(0).normal(size=(32, 3)).astype(np.float32)))
+        conn = rpc.Connection(addr, timeout_ms=5000)
+        try:
+            rpc.set_point_cloud(pcd, path="test/pcd", connection=conn)
+        finally:
+            conn.close()
+        th.join(timeout=5)
+        assert received["msg_id"] == "set_mesh_data"
+        data = received["body"]["data"]
+        verts = rpc.decode_array(data["vertices"])
+        assert verts.shape == (32, 3)
