@@ -22,6 +22,12 @@ import jax  # noqa: E402
 import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the XLA CPU compiler can (rarely) segfault on
+# the suite's biggest programs (sharded run_system); a warm cache removes
+# almost all compiles from repeat runs, and first runs compile each program
+# only once.
+jax.config.update("jax_compilation_cache_dir", "/tmp/o3dtpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 try:
     from jax._src import xla_bridge as _xb
 

@@ -91,17 +91,19 @@ class TestShardedRunSystem:
         from open3d_tpu.parallel import pipeline as pp
 
         def make_cfg(sub):
+            # capacities kept small: this test compiles the largest program
+            # in the suite (8-device shard_map over the full fragment chain)
             return rc.ReconstructionConfig(
                 fragment_size=4,
                 n_keyframes_per_n_frame=3,
                 depth_max=4.0,
                 voxel_size=0.02,
-                block_count=8192,
+                block_count=2048,
                 block_resolution=8,
                 trunc_voxel_multiplier=4.0,
                 downsample_voxel_size=0.05,
-                registration_point_capacity=8192,
-                fragment_point_capacity=65536,
+                registration_point_capacity=4096,
+                fragment_point_capacity=16384,
                 path_output=str(tmp_path / sub),
             )
 
