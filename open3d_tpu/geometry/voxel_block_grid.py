@@ -980,8 +980,19 @@ def extract_triangle_mesh(
     triangle_capacity: int = 262144,
     weight_threshold: float = 3.0,
     block_chunk: int = 8,
+    indexed: bool = True,
 ):
-    """Zero-level-set mesh as a fixed-capacity triangle soup.
+    """Zero-level-set mesh with SHARED-VERTEX topology.
+
+    Every marching-tetrahedra vertex lies on a tet edge, i.e. between two
+    global voxel-grid corners; the canonicalized corner pair is a globally
+    unique key, so duplicate vertices (the same edge hit by up to 6 tets x
+    adjacent cubes) are merged by one lexicographic sort over the 6-int32
+    keys + cumsum unique-ids — the sort-based TPU replacement for the
+    reference's per-edge-atomic shared vertex map
+    (t/geometry/kernel/VoxelBlockGridImpl.h:1369+). `indexed=False` returns
+    the raw fixed-capacity soup (one dedup sort cheaper; 6x duplicated
+    vertices).
 
     Returns a geometry.trianglemesh.TriangleMesh whose triangle_mask marks
     live triangles (ref API: VoxelBlockGrid::ExtractTriangleMesh,
@@ -1009,7 +1020,8 @@ def extract_triangle_mesh(
     nb_offsets = _CORNER_OFFSETS  # (8, 3) reuse: same bit layout
 
     def chunk_triangles(rows):
-        """rows (G,) -> tri_verts (M, 3, 3), tri_col (M, 3, 3), valid (M,)"""
+        """rows (G,) -> tri_verts (M, 3, 3), tri_col (M, 3, 3), valid (M,),
+        tri_keys (M, 3, 6) canonical (lo-corner, hi-corner) voxel ids."""
         blk_occ = jnp.where(rows < C, occ[jnp.minimum(rows, C - 1)], False)
         bco = coords[jnp.minimum(rows, C - 1)]  # (G, 3)
         nb_keys = hm.pack_coords(bco[:, None, :] + nb_offsets[None, :, :])  # (G, 8, 2)
@@ -1044,6 +1056,26 @@ def extract_triangle_mesh(
         n_tri = _TET_COUNT[case]  # (G, B3, 6)
         ca = jnp.maximum(pairs[..., 0], 0)
         cb = jnp.maximum(pairs[..., 1], 0)
+        # canonicalize edge orientation by GLOBAL corner id before
+        # interpolating: the same physical edge is emitted by several tets /
+        # neighbor cubes with either endpoint first ((inside, outside) vs
+        # (outside, inside) in the 3-in case), and a + f*(b-a) from opposite
+        # ends differs by ~1 ulp — enough to break sort-based vertex dedup.
+        gco = bco[:, None, None, :] * B + nxt[None]  # (G, B3, 8, 3) int32
+        gct = gco[:, :, _CUBE_TETS]  # (G, B3, 6, 4, 3)
+        ka = jnp.take_along_axis(
+            gct[:, :, :, None, None, :, :], ca[..., None, None], axis=-2
+        )[..., 0, :]  # (G, B3, 6, 2, 3, 3)
+        kb = jnp.take_along_axis(
+            gct[:, :, :, None, None, :, :], cb[..., None, None], axis=-2
+        )[..., 0, :]
+        d0, d1, d2 = (ka[..., j] - kb[..., j] for j in range(3))
+        swap = (d0 > 0) | ((d0 == 0) & ((d1 > 0) | ((d1 == 0) & (d2 > 0))))
+        ca, cb = jnp.where(swap, cb, ca), jnp.where(swap, ca, cb)
+        keys = jnp.concatenate(
+            [jnp.where(swap[..., None], kb, ka), jnp.where(swap[..., None], ka, kb)],
+            axis=-1,
+        )  # (G, B3, 6, 2, 3, 6) canonical (lo, hi) corner ids
         va = jnp.take_along_axis(tv[..., None, None, :], ca[..., None], axis=-1)[..., 0]
         vb = jnp.take_along_axis(tv[..., None, None, :], cb[..., None], axis=-1)[..., 0]
         frac = va / jnp.where(jnp.abs(va - vb) > 1e-12, va - vb, 1.0)
@@ -1071,24 +1103,87 @@ def extract_triangle_mesh(
         else:
             cols = jnp.zeros_like(verts)
         M = G * B3 * 6 * 2
-        return verts.reshape(M, 3, 3), cols.reshape(M, 3, 3), valid.reshape(M)
+        return (
+            verts.reshape(M, 3, 3),
+            cols.reshape(M, 3, 3),
+            valid.reshape(M),
+            keys.reshape(M, 3, 6),
+        )
 
     Tcap = int(triangle_capacity)
     out_v = jnp.zeros((Tcap + 1, 3, 3), jnp.float32)
     out_c = jnp.zeros((Tcap + 1, 3, 3), jnp.float32)
+    out_k = jnp.zeros((Tcap + 1, 3, 6), jnp.int32)
 
     def scan_body(carry, rows):
-        out_v, out_c, offset = carry
-        verts, cols, valid = chunk_triangles(rows)
+        out_v, out_c, out_k, offset = carry
+        verts, cols, valid, keys = chunk_triangles(rows)
         pos = offset + jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
         dst = jnp.where(valid & (pos < Tcap), pos, Tcap)
         out_v = out_v.at[dst].set(verts)
         out_c = out_c.at[dst].set(cols)
-        return (out_v, out_c, offset + jnp.sum(valid.astype(jnp.int32))), None
+        out_k = out_k.at[dst].set(keys)
+        return (out_v, out_c, out_k, offset + jnp.sum(valid.astype(jnp.int32))), None
 
-    (out_v, out_c, total), _ = jax.lax.scan(scan_body, (out_v, out_c, jnp.int32(0)), rows_all)
-    tri_mask = jnp.arange(Tcap) < jnp.minimum(total, Tcap)
-    mesh = TriangleMesh.from_triangle_soup(
-        out_v[:Tcap], tri_mask, colors=out_c[:Tcap] if has_color else None
+    (out_v, out_c, out_k, total), _ = jax.lax.scan(
+        scan_body, (out_v, out_c, out_k, jnp.int32(0)), rows_all
     )
-    return mesh
+    tri_mask = jnp.arange(Tcap) < jnp.minimum(total, Tcap)
+    if not indexed:
+        return TriangleMesh.from_triangle_soup(
+            out_v[:Tcap], tri_mask, colors=out_c[:Tcap] if has_color else None
+        )
+    return _index_soup(
+        out_v[:Tcap], out_c[:Tcap] if has_color else None, out_k[:Tcap], tri_mask
+    )
+
+
+def _index_soup(tri_verts, tri_cols, tri_keys, tri_mask):
+    """Merge soup vertices that share a canonical edge key into an indexed
+    mesh (fixed capacity N = 3T vertices; vertex_mask marks the live ones).
+
+    One 6-key lexicographic sort + cumsum assigns unique ids; positions of
+    first occurrences are scattered into the unique slots (duplicates are
+    bit-identical so any representative works)."""
+    from open3d_tpu.geometry.trianglemesh import TriangleMesh
+
+    T = tri_verts.shape[0]
+    N = 3 * T
+    keys = tri_keys.reshape(N, 6)
+    vvalid = jnp.repeat(tri_mask, 3)
+    # invalid soup slots sort to the end (key column 0 = INT32_MAX)
+    imax = jnp.int32(2**31 - 1)
+    k0 = jnp.where(vvalid, keys[:, 0], imax)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    sorted_cols = jax.lax.sort(
+        (k0, keys[:, 1], keys[:, 2], keys[:, 3], keys[:, 4], keys[:, 5], idx),
+        num_keys=6,
+    )
+    sidx = sorted_cols[6]
+    sk = jnp.stack(sorted_cols[:6], axis=-1)  # (N, 6) sorted keys
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.any(sk[1:] != sk[:-1], axis=-1)]
+    )
+    uid_sorted = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # (N,)
+    svalid = vvalid[sidx]
+    n_unique = jnp.sum((is_new & svalid).astype(jnp.int32))
+    # unique id per original soup vertex (invalids land past n_unique)
+    uid = jnp.zeros((N,), jnp.int32).at[sidx].set(uid_sorted)
+    verts = jnp.zeros((N, 3), jnp.float32).at[uid_sorted].set(
+        tri_verts.reshape(N, 3)[sidx]
+    )
+    vattrs = {}
+    if tri_cols is not None:
+        vattrs["colors"] = jnp.zeros((N, 3), jnp.float32).at[uid_sorted].set(
+            tri_cols.reshape(N, 3)[sidx]
+        )
+    triangles = uid.reshape(T, 3)
+    vertex_mask = jnp.arange(N) < n_unique
+    return TriangleMesh(
+        vertices=verts,
+        triangles=triangles,
+        vertex_mask=vertex_mask,
+        triangle_mask=tri_mask,
+        vertex_attrs=vattrs,
+        triangle_attrs={},
+    )

@@ -100,12 +100,17 @@ def _integrate_kernel(
     with_color: bool,
 ):
     i = pl.program_id(0)
-    v0 = v0_ref[i]
-    u0 = u0_ref[i]
+    # v0 is built 8-aligned and Hp is a multiple of 8 (block_slab_fit /
+    # prepare_planes), but Mosaic cannot prove it through the scalar load —
+    # assert the alignment so the tiled memref slice is legal (round-3's
+    # on-TPU compile failure: "tile index in dimension 0 divisible by 8").
+    v0 = pl.multiple_of(v0_ref[i], 8)
+    u0 = pl.multiple_of(u0_ref[i], 128)
     n_planes = 5 if with_color else 2
     for p in range(n_planes):
         pltpu.make_async_copy(
-            planes_hbm.at[pl.ds(p * Hp + v0, _SLAB_H), pl.ds(u0, _SLAB_W)],
+            planes_hbm.at[pl.ds(pl.multiple_of(p * Hp + v0, 8), _SLAB_H),
+                          pl.ds(u0, _SLAB_W)],
             slab.at[:, pl.ds(p * _SLAB_W, _SLAB_W)],
             sem.at[p],
         ).start()
@@ -117,7 +122,8 @@ def _integrate_kernel(
 
     for p in range(n_planes):
         pltpu.make_async_copy(
-            planes_hbm.at[pl.ds(p * Hp + v0, _SLAB_H), pl.ds(u0, _SLAB_W)],
+            planes_hbm.at[pl.ds(pl.multiple_of(p * Hp + v0, 8), _SLAB_H),
+                          pl.ds(u0, _SLAB_W)],
             slab.at[:, pl.ds(p * _SLAB_W, _SLAB_W)],
             sem.at[p],
         ).wait()

@@ -111,80 +111,73 @@ def solve_pose_graph_cg(
 ):
     """Solve (H + lam diag(H) + anchor pin) dx = -b matrix-free.
 
-    With `mesh`, edges are sharded over `axis` and every H-apply /
-    gradient / diagonal assembly does ONE psum over the mesh — the
-    distributed replacement for the dense replicated
-    `jnp.linalg.solve` (round-2 verdict "What's missing" #2).
+    With `mesh`, edges are sharded over `axis` and the ENTIRE CG loop runs
+    inside ONE shard_map: the edge shards stay device-resident across
+    iterations and each H-apply costs exactly one psum over `axis` (the
+    all-reduce rides ICI). Round-3 wrapped each H-apply in its own
+    shard_map, which forced a replicate<->shard respec per CG iteration and
+    an SPMD full rematerialization (MULTICHIP_r03: 0.18x at 8 devices);
+    keeping the loop inside the shard_map removes that resharding entirely.
     Returns dx (F, 6).
     """
-    if mesh is not None:
-        n_dev = mesh.shape[axis]
-        sys = _pad_edges(sys, n_dev)
-        espec = EdgeSystem(*(P(axis) for _ in range(6)))
-        rep = P()
 
-        def sharded(f, out_spec=rep, extra_in=()):
-            return shard_map(
-                f,
-                mesh=mesh,
-                in_specs=(espec,) + extra_in,
-                out_specs=out_spec,
-                check_vma=False,
-            )
+    def cg_core(sys_l: EdgeSystem, lam_l, psum):
+        b = psum(_local_gradient(sys_l, F))
+        D = psum(_local_diag_blocks(sys_l, F))
+        # damping + anchor pin on the diagonal blocks
+        dvec = jnp.diagonal(D, axis1=1, axis2=2)  # (F, 6)
+        pin = jnp.zeros((F,), jnp.float32).at[anchor].set(1e12)
+        damp = lam_l * dvec + 1e-9 + pin[:, None]
+        Dd = D + jax.vmap(jnp.diag)(damp)
+        # block-Jacobi preconditioner (replicated; F is tiny next to E)
+        M_inv = jnp.linalg.inv(Dd + 1e-6 * jnp.eye(6))
 
-        b = sharded(
-            lambda s_: jax.lax.psum(_local_gradient(s_, F), axis)
-        )(sys)
-        D = sharded(
-            lambda s_: jax.lax.psum(_local_diag_blocks(s_, F), axis)
-        )(sys)
-        hv_raw = sharded(
-            lambda s_, v: jax.lax.psum(_local_hv(s_, v), axis), extra_in=(rep,)
+        def hv(v):
+            return psum(_local_hv(sys_l, v)) + damp * v
+
+        def dot(a, c):
+            return jnp.sum(a * c)
+
+        x0 = jnp.zeros((F, 6), jnp.float32)
+        r0 = -b - hv(x0)
+        z0 = jnp.einsum("fij,fj->fi", M_inv, r0)
+        p0 = z0
+        rz0 = dot(r0, z0)
+        thresh = tol * jnp.maximum(dot(b, b), 1e-30)
+
+        def cond(state):
+            i, x, r, p, rz = state
+            return (i < n_iter) & (dot(r, r) > thresh)
+
+        def body(state):
+            i, x, r, p, rz = state
+            Ap = hv(p)
+            alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = jnp.einsum("fij,fj->fi", M_inv, r)
+            rz_new = dot(r, z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return (i + 1, x, r, p, rz_new)
+
+        _, x, _, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), x0, r0, p0, rz0)
         )
-    else:
-        b = _local_gradient(sys, F)
-        D = _local_diag_blocks(sys, F)
-        hv_raw = lambda s_, v: _local_hv(s_, v)
+        return x
 
-    # damping + anchor pin on the diagonal blocks
-    dvec = jnp.diagonal(D, axis1=1, axis2=2)  # (F, 6)
-    pin = jnp.zeros((F,), jnp.float32).at[anchor].set(1e12)
-    damp = lam * dvec + 1e-9 + pin[:, None]
-    Dd = D + jax.vmap(jnp.diag)(damp)
-    # block-Jacobi preconditioner
-    M_inv = jnp.linalg.inv(Dd + 1e-6 * jnp.eye(6))
-
-    def hv(v):
-        return hv_raw(sys, v) + damp * v
-
-    def dot(a, c):
-        return jnp.sum(a * c)
-
-    x0 = jnp.zeros((F, 6), jnp.float32)
-    r0 = -b - hv(x0)
-    z0 = jnp.einsum("fij,fj->fi", M_inv, r0)
-    p0 = z0
-    rz0 = dot(r0, z0)
-    thresh = tol * jnp.maximum(dot(b, b), 1e-30)
-
-    def cond(state):
-        i, x, r, p, rz = state
-        return (i < n_iter) & (dot(r, r) > thresh)
-
-    def body(state):
-        i, x, r, p, rz = state
-        Ap = hv(p)
-        alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = jnp.einsum("fij,fj->fi", M_inv, r)
-        rz_new = dot(r, z)
-        beta = rz_new / jnp.maximum(rz, 1e-30)
-        p = z + beta * p
-        return (i + 1, x, r, p, rz_new)
-
-    _, x, _, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), x0, r0, p0, rz0))
-    return x
+    lam = jnp.asarray(lam, jnp.float32)
+    if mesh is None:
+        return cg_core(sys, lam, lambda x: x)
+    sys = _pad_edges(sys, mesh.shape[axis])
+    espec = EdgeSystem(*(P(axis) for _ in range(6)))
+    return shard_map(
+        lambda s_, l_: cg_core(s_, l_, lambda x: jax.lax.psum(x, axis)),
+        mesh=mesh,
+        in_specs=(espec, P()),
+        out_specs=P(),
+        check_vma=False,
+    )(sys, lam)
 
 
 # ---------------------------------------------------------------------------
@@ -307,65 +300,54 @@ def ba_gauss_newton(
     by preconditioned CG where every S-apply is two observation sweeps +
     psum; then back-substitutes dxp = -Hpp^-1 (bp + Hpc dxc). With `mesh`,
     observations shard over `axis`; poses/landmark vectors stay replicated
-    (they are O(F + L), tiny next to observations).
+    (they are O(F + L), tiny next to observations). The WHOLE Gauss-Newton
+    scan runs inside one shard_map so the observation shards stay resident
+    and each sweep is exactly one psum (no per-call resharding — the
+    round-3 0.18x regression).
 
     Returns (poses', points', final_cost).
     """
-    from open3d_tpu.core import lie
-
     F = poses.shape[0]
     L = points.shape[0]
 
-    if mesh is not None:
-        n_dev = mesh.shape[axis]
-        O = prob.p.shape[0]
-        pad = (-O) % n_dev
-        if pad:
-            z = lambda a: jnp.concatenate(
-                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
-            )
-            prob = BAProblem(z(prob.cam), z(prob.lm), z(prob.p), z(prob.w))
-        ospec = BAProblem(P(axis), P(axis), P(axis), P(axis))
-        rep = P()
+    if mesh is None:
+        return _ba_gn_core(
+            poses, points, prob, F, L, n_outer, n_cg, lam, anchor, lambda x: x
+        )
 
-        def sh(f, n_extra=0, out_specs=None):
-            return shard_map(
-                f,
-                mesh=mesh,
-                in_specs=(rep, rep, ospec) + (rep,) * n_extra,
-                out_specs=rep if out_specs is None else out_specs,
-                check_vma=False,
-            )
+    n_dev = mesh.shape[axis]
+    O = prob.p.shape[0]
+    pad = (-O) % n_dev
+    if pad:
+        z = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+        )
+        prob = BAProblem(z(prob.cam), z(prob.lm), z(prob.p), z(prob.w))
+    ospec = BAProblem(P(axis), P(axis), P(axis), P(axis))
+    rep = P()
+    return shard_map(
+        lambda Tp, Xp, pr: _ba_gn_core(
+            Tp, Xp, pr, F, L, n_outer, n_cg, lam, anchor,
+            lambda x: jax.lax.psum(x, axis),
+        ),
+        mesh=mesh,
+        in_specs=(rep, rep, ospec),
+        out_specs=(rep, rep, rep),
+        check_vma=False,
+    )(poses, points, prob)
 
-        locals_f = sh(
-            lambda Tp, Xp, pr: jax.tree_util.tree_map(
-                lambda x: jax.lax.psum(x, axis), _ba_locals(Tp, Xp, pr, F, L)
-            ),
-            out_specs=(rep, rep, rep, rep, rep),
-        )
-        hcp = sh(
-            lambda Tp, Xp, pr, v: jax.lax.psum(
-                _ba_hcp_apply(Tp, Xp, pr, v, F), axis
-            ),
-            n_extra=1,
-        )
-        hpc = sh(
-            lambda Tp, Xp, pr, v: jax.lax.psum(
-                _ba_hpc_apply(Tp, Xp, pr, v, L), axis
-            ),
-            n_extra=1,
-        )
-        hcc = sh(
-            lambda Tp, Xp, pr, v: jax.lax.psum(
-                _ba_hcc_apply(Tp, Xp, pr, v, F), axis
-            ),
-            n_extra=1,
-        )
-    else:
-        locals_f = lambda Tp, Xp, pr: _ba_locals(Tp, Xp, pr, F, L)
-        hcp = lambda Tp, Xp, pr, v: _ba_hcp_apply(Tp, Xp, pr, v, F)
-        hpc = lambda Tp, Xp, pr, v: _ba_hpc_apply(Tp, Xp, pr, v, L)
-        hcc = lambda Tp, Xp, pr, v: _ba_hcc_apply(Tp, Xp, pr, v, F)
+
+def _ba_gn_core(poses, points, prob, F, L, n_outer, n_cg, lam, anchor, psum):
+    """Gauss-Newton scan body shared by local and sharded paths. `psum`
+    reduces observation-sharded partials (identity on a single device)."""
+    from open3d_tpu.core import lie
+
+    locals_f = lambda Tp, Xp, pr: jax.tree_util.tree_map(
+        psum, _ba_locals(Tp, Xp, pr, F, L)
+    )
+    hcp = lambda Tp, Xp, pr, v: psum(_ba_hcp_apply(Tp, Xp, pr, v, F))
+    hpc = lambda Tp, Xp, pr, v: psum(_ba_hpc_apply(Tp, Xp, pr, v, L))
+    hcc = lambda Tp, Xp, pr, v: psum(_ba_hcc_apply(Tp, Xp, pr, v, F))
 
     pin = jnp.zeros((F,), jnp.float32).at[anchor].set(1e12)
 
