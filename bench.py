@@ -28,6 +28,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: TPU compiles go through the axon AOT tunnel
+# (~20-40 s each); warm runs skip them entirely
+jax.config.update("jax_compilation_cache_dir", "/tmp/o3dtpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 BASELINE_FPS = 100.0  # reference CUDA kernels, GTX 1070
 RAYCAST_TARGET_FPS = 30.0
 

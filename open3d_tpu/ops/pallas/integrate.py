@@ -5,23 +5,32 @@ t/geometry/kernel/VoxelBlockGridImpl.h:153-304 — project voxel -> pixel,
 SDF = depth - z clamped to +-trunc, running weighted mean of tsdf + color.
 
 Round-2 did the pixel sampling with XLA gathers (~130M scalar loads/s on
-v5e => 63 ms/frame); this kernel removes them: per touched block, the
-block's projected image RECT is DMA'd HBM->VMEM as a (128, 256)-pixel slab
-(5 planes: depth split into exact bf16 hi+lo, and r/g/b whose 8-bit values
-are bf16-exact), and every voxel's nearest-pixel sample is a one-hot MXU
-matmul over the slab's 128 rows + a lane `dynamic_gather` — then the
-weighted-mean fuse happens in the same kernel against the block's payload
-row, updated in place via input_output_aliases (the scalar-prefetched slot
-array picks the output row: a scatter-DMA).
+v5e => 63 ms/frame). Round-3 replaced them with per-z-slice one-hot MXU
+sampling but spent its time in ~160 tiny lane-gathers + ~160 tiny
+HIGHEST-precision relayout matmuls per block (measured by ablation:
+op-count-bound, not flop-bound). Round-4 shape of the kernel:
 
-Blocks whose projected footprint exceeds the (128, 256) window (closer than
-~0.4 m at TUM intrinsics) are integrated by the XLA fallback path in
+- The frame is packed once into a bf16 plane stack [d_hi | d_lo | r | g
+  | b] (depth split into two bf16 words, exact to ~17 bits; 8-bit colors
+  are bf16-exact). Per touched block one (128, 256)-pixel slab per plane
+  is DMA'd HBM->VMEM (bf16: half the bytes of round-3's f32 slabs).
+- The 4096 voxels are processed in 4 chunks of 1024 samples. Per chunk:
+  ONE one-hot bf16 matmul (1024, 128) @ (128, 5*256) row-selects all five
+  planes at once, then 2 lane dynamic_gathers per plane pick the column.
+- The (1024, 1)-per-sample results return to the (32, 128) block-row
+  layout with ONE batched relayout matmul per chunk: each f32 quantity is
+  split into exact bf16 hi+lo words, the 9 columns (t_hi, t_lo, w, r/g/b
+  hi+lo) are concatenated on lanes, and a static (8, 1024) 0/1 matrix
+  performs the permutation (every output element is a single 1*x product,
+  so bf16 passes are exact; hi+lo re-sum restores ~17 f32 bits).
+- Grid steps whose block is invalid (dump row) or does not fit the slab
+  window copy their payload row through unchanged under @pl.when — at
+  frame_block_capacity 2048 with ~600 really-touched blocks this skips
+  ~70% of the grid.
+
+Blocks whose projected footprint exceeds the (128, 256) window (closer
+than ~0.4 m at TUM intrinsics) are integrated by the XLA fallback path in
 voxel_block_grid.integrate; their count is surfaced as a stat.
-
-Sample layout note: per 256-voxel chunk the math runs in (256, 1)
-"broadcast" layout (samples on sublanes); the final (256,1) -> (2,128)
-relayout into block-row layout is two static-mask matmuls (a fixed
-permutation is a matrix).
 """
 
 from __future__ import annotations
@@ -37,27 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 _TSDF_SCALE = 16383.0
 _B = 16
 _B3 = _B * _B * _B
-_SLAB_H = 128  # slab rows (v extent), 8-aligned
+_SLAB_H = 128  # slab rows (v extent); multiple of the bf16 sublane tile 16
 _SLAB_W = 256  # slab cols (u extent), 128-aligned
-
-
-def _relayout_256_to_2x128(val, precision):
-    """(256, 1) f32 -> (2, 128) with out[r, l] = val[128 r + l].
-
-    A fixed permutation as two static masks + one matmul:
-    out = A @ (val_bcast * L), A[r, s] = [s // 128 == r], L[s, l] = [s % 128 == l].
-    """
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
-    l_iota = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1)
-    L = (s_iota % 128) == l_iota  # static
-    V = jnp.where(L, jnp.broadcast_to(val, (256, 128)), 0.0)
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (2, 256), 0)
-    s2_iota = jax.lax.broadcasted_iota(jnp.int32, (2, 256), 1)
-    A = ((s2_iota // 128) == r_iota).astype(jnp.float32)
-    return jax.lax.dot_general(
-        A, V, (((1,), (0,)), ((), ())), precision=precision,
-        preferred_element_type=jnp.float32,
-    )
+_CHUNK = 1024  # samples per matmul chunk (4 chunks cover the 16^3 block)
 
 
 def _integrate_kernel(
@@ -66,19 +57,19 @@ def _integrate_kernel(
     bx_ref,  # (M,) i32 block coords
     by_ref,
     bz_ref,
-    v0_ref,  # (M,) i32 slab origin (8-aligned)
+    v0_ref,  # (M,) i32 slab origin (16-aligned)
     u0_ref,  # (M,) i32 slab origin (128-aligned)
     fit_ref,  # (M,) i32 1 = slab covers the footprint
     # inputs
     params_ref,  # (1, 128) f32
-    planes_hbm,  # (5 * H, W) f32 [d_hi | d_lo | r | g | b] stacked on rows
+    planes_hbm,  # (5 * Hp, Wp) bf16 [d_hi | d_lo | r | g | b] row-stacked
     tw_in,  # (1, 32, 128) i32 aliased block row
     col_in,  # (1, 32, 128) i32 aliased block row
     # outputs
     tw_out,  # (1, 32, 128) i32
     col_out,  # (1, 32, 128) i32
     # scratch
-    slab,  # (SLAB_H, 5 * SLAB_W) f32
+    slab,  # (SLAB_H, 5 * SLAB_W) bf16
     sem,  # DMA sems (5,)
     new_t,  # (32, 128) f32 scratch
     new_w,  # (32, 128) f32
@@ -89,6 +80,7 @@ def _integrate_kernel(
     H: int,
     W: int,
     Hp: int,  # padded plane row stride (planes image is (5*Hp, Wp))
+    C: int,  # payload dump row (capacity)
     fx: float,
     fy: float,
     cx: float,
@@ -100,149 +92,192 @@ def _integrate_kernel(
     with_color: bool,
 ):
     i = pl.program_id(0)
-    # v0 is built 8-aligned and Hp is a multiple of 8 (block_slab_fit /
-    # prepare_planes), but Mosaic cannot prove it through the scalar load —
-    # assert the alignment so the tiled memref slice is legal (round-3's
-    # on-TPU compile failure: "tile index in dimension 0 divisible by 8").
-    v0 = pl.multiple_of(v0_ref[i], 8)
-    u0 = pl.multiple_of(u0_ref[i], 128)
     n_planes = 5 if with_color else 2
-    for p in range(n_planes):
-        pltpu.make_async_copy(
-            planes_hbm.at[pl.ds(pl.multiple_of(p * Hp + v0, 8), _SLAB_H),
-                          pl.ds(u0, _SLAB_W)],
-            slab.at[:, pl.ds(p * _SLAB_W, _SLAB_W)],
-            sem.at[p],
-        ).start()
+    # Work only on valid, slab-fitting blocks; everything else (dump rows
+    # for untouched capacity, close-up fallback blocks) copies through.
+    work = (slots_ref[i] < C) & (fit_ref[i] == 1)
 
-    par = [params_ref[0, j] for j in range(12)]
-    R00, R01, R02, R10, R11, R12, R20, R21, R22 = par[:9]
-    tX, tY, tZ = par[9:12]
-    ok_block = (fit_ref[i] == 1)
+    @pl.when(work)
+    def _do_block():
+        # v0 is built 16-aligned and Hp is a multiple of 16 (block_slab_fit
+        # / prepare_planes), but Mosaic cannot prove it through the scalar
+        # load — assert the alignment so the tiled bf16 memref slice is
+        # legal (round-3's on-TPU compile failure).
+        v0 = pl.multiple_of(v0_ref[i], 16)
+        u0 = pl.multiple_of(u0_ref[i], 128)
+        for p in range(n_planes):
+            pltpu.make_async_copy(
+                planes_hbm.at[pl.ds(pl.multiple_of(p * Hp + v0, 16), _SLAB_H),
+                              pl.ds(u0, _SLAB_W)],
+                slab.at[:, pl.ds(p * _SLAB_W, _SLAB_W)],
+                sem.at[p],
+            ).start()
 
-    for p in range(n_planes):
-        pltpu.make_async_copy(
-            planes_hbm.at[pl.ds(pl.multiple_of(p * Hp + v0, 8), _SLAB_H),
-                          pl.ds(u0, _SLAB_W)],
-            slab.at[:, pl.ds(p * _SLAB_W, _SLAB_W)],
-            sem.at[p],
-        ).wait()
+        par = [params_ref[0, j] for j in range(12)]
+        R00, R01, R02, R10, R11, R12, R20, R21, R22 = par[:9]
+        tX, tY, tZ = par[9:12]
 
-    bxf = bx_ref[i].astype(jnp.float32) * (voxel_size * _B)
-    byf = by_ref[i].astype(jnp.float32) * (voxel_size * _B)
-    bzf = bz_ref[i].astype(jnp.float32) * (voxel_size * _B)
-    u0f = u0.astype(jnp.float32)
-    v0f = v0.astype(jnp.float32)
+        bxf = bx_ref[i].astype(jnp.float32) * (voxel_size * _B)
+        byf = by_ref[i].astype(jnp.float32) * (voxel_size * _B)
+        bzf = bz_ref[i].astype(jnp.float32) * (voxel_size * _B)
+        u0f = u0.astype(jnp.float32)
+        v0f = v0.astype(jnp.float32)
+        del u0f, v0f  # origins used in integer space below
 
-    slab_all = slab[:]  # (128, 5*256)
-    n_lanes = n_planes * _SLAB_W
-    hp = jax.lax.Precision.HIGHEST
+        for p in range(n_planes):
+            pltpu.make_async_copy(
+                planes_hbm.at[pl.ds(pl.multiple_of(p * Hp + v0, 16), _SLAB_H),
+                              pl.ds(u0, _SLAB_W)],
+                slab.at[:, pl.ds(p * _SLAB_W, _SLAB_W)],
+                sem.at[p],
+            ).wait()
 
-    for c in range(16):  # z-slices
-        s = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
-        lx = (s & 15).astype(jnp.float32)
-        ly = (s >> 4).astype(jnp.float32)
-        lzf = float(c)
-        # world position of voxel sample point
-        pwx = bxf + lx * voxel_size
-        pwy = byf + ly * voxel_size
-        pwz = bzf + lzf * voxel_size
-        # camera frame
-        pcx = R00 * pwx + R01 * pwy + R02 * pwz + tX
-        pcy = R10 * pwx + R11 * pwy + R12 * pwz + tY
-        pcz = R20 * pwx + R21 * pwy + R22 * pwz + tZ
-        zc = jnp.maximum(pcz, 1e-6)
-        uf = pcx / zc * fx + cx
-        vf = pcy / zc * fy + cy
-        ui = jnp.round(uf).astype(jnp.int32)
-        vi = jnp.round(vf).astype(jnp.int32)
-        su = ui - u0
-        sv = vi - v0
-        inb = (
-            (pcz > 1e-4)
-            & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
-            & (su >= 0) & (su < _SLAB_W) & (sv >= 0) & (sv < _SLAB_H)
-        )
-        svc = jnp.clip(sv, 0, _SLAB_H - 1)
-        suc = jnp.clip(su, 0, _SLAB_W - 1)
+        slab_all = slab[:]  # (128, 5*256) bf16
+        n_q = 9 if with_color else 3  # relayout columns (hi/lo + w)
 
-        oh = (
-            jax.lax.broadcasted_iota(jnp.int32, (256, _SLAB_H), 1) == svc
-        ).astype(jnp.bfloat16)
-        rows_sel = jax.lax.dot_general(
-            oh, slab_all.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (256, n_lanes) f32
-        lane = suc & 127
-        grp = suc >> 7
-        lane_b = jnp.broadcast_to(lane, (256, 128))
+        # static relayout masks, shared by all chunks:
+        #   L[s, l] = (s % 128 == l)   (CHUNK, 128) — value spread mask
+        #   A[r, s] = (s // 128 == r)  (8, CHUNK)   — permutation matrix
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 128), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 128), 1)
+        # bf16 0/1 mask (multiplication, not jnp.where: Mosaic rejects a
+        # where() whose value operands are both lane-replicated)
+        L = ((s_iota & 127) == l_iota).astype(jnp.bfloat16)
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (8, _CHUNK), 0)
+        s2_iota = jax.lax.broadcasted_iota(jnp.int32, (8, _CHUNK), 1)
+        A = ((s2_iota >> 7) == r_iota).astype(jnp.bfloat16)
 
-        def sample_plane(p):
-            v_g0 = jnp.take_along_axis(
-                rows_sel[:, p * _SLAB_W : p * _SLAB_W + 128], lane_b, axis=1
-            )[:, :1]
-            v_g1 = jnp.take_along_axis(
-                rows_sel[:, p * _SLAB_W + 128 : (p + 1) * _SLAB_W], lane_b, axis=1
-            )[:, :1]
-            return jnp.where(grp == 0, v_g0, v_g1)
+        for k in range(_B3 // _CHUNK):  # 4 chunks of 1024 voxels
+            f = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0) + (
+                k * _CHUNK
+            )  # flat voxel id: x + 16 y + 256 z
+            lx = (f & 15).astype(jnp.float32)
+            ly = ((f >> 4) & 15).astype(jnp.float32)
+            lz = (f >> 8).astype(jnp.float32)
+            # world position of voxel sample point
+            pwx = bxf + lx * voxel_size
+            pwy = byf + ly * voxel_size
+            pwz = bzf + lz * voxel_size
+            # camera frame
+            pcx = R00 * pwx + R01 * pwy + R02 * pwz + tX
+            pcy = R10 * pwx + R11 * pwy + R12 * pwz + tY
+            pcz = R20 * pwx + R21 * pwy + R22 * pwz + tZ
+            zc = jnp.maximum(pcz, 1e-6)
+            uf = pcx / zc * fx + cx
+            vf = pcy / zc * fy + cy
+            ui = jnp.round(uf).astype(jnp.int32)
+            vi = jnp.round(vf).astype(jnp.int32)
+            su = ui - u0_ref[i]
+            sv = vi - v0_ref[i]
+            inb = (
+                (pcz > 1e-4)
+                & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+                & (su >= 0) & (su < _SLAB_W) & (sv >= 0) & (sv < _SLAB_H)
+            )
+            svc = jnp.clip(sv, 0, _SLAB_H - 1)
+            suc = jnp.clip(su, 0, _SLAB_W - 1)
 
-        d = sample_plane(0) + sample_plane(1)  # exact f32 depth
-        d_ok = inb & (d > 0) & (d < depth_max)
-        sdf = d - pcz
-        keep = d_ok & (sdf >= -sdf_trunc) & ok_block
-        tsdf_new = jnp.clip(sdf * (1.0 / sdf_trunc), -1.0, 1.0)
-        wn = keep.astype(jnp.float32)
+            # one-hot row select for ALL planes at once (bf16 MXU)
+            oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _SLAB_H), 1)
+                == svc
+            ).astype(jnp.bfloat16)
+            rows_sel = jax.lax.dot_general(
+                oh, slab_all, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (CHUNK, n_lanes) f32 — bf16 values pass through exactly
 
-        new_t[pl.ds(2 * c, 2), :] = _relayout_256_to_2x128(
-            jnp.where(keep, tsdf_new, 0.0), hp
-        )
-        new_w[pl.ds(2 * c, 2), :] = _relayout_256_to_2x128(wn, hp)
+            lane = suc & 127
+            grp = suc >> 7
+            lane_b = jnp.broadcast_to(lane, (_CHUNK, 128))
+
+            def sample_plane(p):
+                v_g0 = jnp.take_along_axis(
+                    rows_sel[:, p * _SLAB_W : p * _SLAB_W + 128], lane_b,
+                    axis=1,
+                )[:, :1]
+                v_g1 = jnp.take_along_axis(
+                    rows_sel[:, p * _SLAB_W + 128 : (p + 1) * _SLAB_W],
+                    lane_b, axis=1,
+                )[:, :1]
+                return jnp.where(grp == 0, v_g0, v_g1)
+
+            d = sample_plane(0) + sample_plane(1)  # ~17-bit depth
+            d_ok = inb & (d > 0) & (d < depth_max)
+            sdf = d - pcz
+            keep = d_ok & (sdf >= -sdf_trunc)
+            tsdf_new = jnp.clip(sdf * (1.0 / sdf_trunc), -1.0, 1.0)
+            wn = keep.astype(jnp.float32)
+
+            # batched exact relayout: (CHUNK, 1) x {t, w, r, g, b} ->
+            # (8, 128) rows of the block layout in ONE bf16 matmul.
+            quantities = [jnp.where(keep, tsdf_new, 0.0), wn]
+            if with_color:
+                quantities += [
+                    jnp.where(keep, sample_plane(p), 0.0) for p in (2, 3, 4)
+                ]
+            cols = []
+            for qi, q in enumerate(quantities):
+                qb = jnp.broadcast_to(q, (_CHUNK, 128))
+                hi = qb.astype(jnp.bfloat16)
+                cols.append(hi * L)
+                if qi != 1:  # w is 0/1: one bf16 word is exact
+                    lo = (qb - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    cols.append(lo * L)
+            V = jnp.concatenate(cols, axis=1)  # (CHUNK, n_q * 128) bf16
+            out = jax.lax.dot_general(
+                A, V, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (8, n_q * 128): single 1*x product per element — exact
+            rows8 = pl.ds(8 * k, 8)
+            new_t[rows8, :] = out[:, 0:128] + out[:, 128:256]
+            new_w[rows8, :] = out[:, 256:384]
+            if with_color:
+                new_r[rows8, :] = out[:, 384:512] + out[:, 512:640]
+                new_g[rows8, :] = out[:, 640:768] + out[:, 768:896]
+                new_b[rows8, :] = out[:, 896:1024] + out[:, 1024:1152]
+
+        # ---- fuse against the old payload row (in place) ----
+        old = tw_in[0]
+        old_t = (old >> 16).astype(jnp.float32) * (1.0 / _TSDF_SCALE)
+        old_w = (old & 0xFFFF).astype(jnp.float32)
+        w_n = new_w[:]
+        w_sum = old_w + w_n
+        inv = 1.0 / jnp.maximum(w_sum, 1e-6)
+        upd = w_n > 0
+        t2 = jnp.where(upd, (old_t * old_w + new_t[:] * w_n) * inv, old_t)
+        w2 = jnp.minimum(w_sum, weight_max)
+        tq = jnp.round(jnp.clip(t2, -1.0, 1.0) * _TSDF_SCALE).astype(jnp.int32)
+        tw_out[0] = (tq << 16) | w2.astype(jnp.int32)
+
+        oldc = col_in[0]
+        ro = ((oldc >> 21) & 0x7FF).astype(jnp.float32) * (1.0 / 2047.0)
+        go = ((oldc >> 10) & 0x7FF).astype(jnp.float32) * (1.0 / 2047.0)
+        bo = (oldc & 0x3FF).astype(jnp.float32) * (1.0 / 1023.0)
         if with_color:
-            new_r[pl.ds(2 * c, 2), :] = _relayout_256_to_2x128(
-                jnp.where(keep, sample_plane(2), 0.0), hp
-            )
-            new_g[pl.ds(2 * c, 2), :] = _relayout_256_to_2x128(
-                jnp.where(keep, sample_plane(3), 0.0), hp
-            )
-            new_b[pl.ds(2 * c, 2), :] = _relayout_256_to_2x128(
-                jnp.where(keep, sample_plane(4), 0.0), hp
-            )
+            r2 = jnp.where(upd, (ro * old_w + new_r[:] * w_n) * inv, ro)
+            g2 = jnp.where(upd, (go * old_w + new_g[:] * w_n) * inv, go)
+            b2 = jnp.where(upd, (bo * old_w + new_b[:] * w_n) * inv, bo)
+        else:
+            r2, g2, b2 = ro, go, bo
+        ri = jnp.clip(r2 * 2047.0 + 0.5, 0, 2047).astype(jnp.int32)
+        gi = jnp.clip(g2 * 2047.0 + 0.5, 0, 2047).astype(jnp.int32)
+        bi = jnp.clip(b2 * 1023.0 + 0.5, 0, 1023).astype(jnp.int32)
+        col_out[0] = (ri << 21) | (gi << 10) | bi
 
-    # ---- fuse against the old payload row (in place) ----
-    old = tw_in[0]
-    old_t = (old >> 16).astype(jnp.float32) * (1.0 / _TSDF_SCALE)
-    old_w = (old & 0xFFFF).astype(jnp.float32)
-    w_n = new_w[:]
-    w_sum = old_w + w_n
-    inv = 1.0 / jnp.maximum(w_sum, 1e-6)
-    upd = w_n > 0
-    t2 = jnp.where(upd, (old_t * old_w + new_t[:] * w_n) * inv, old_t)
-    w2 = jnp.minimum(w_sum, weight_max)
-    tq = jnp.round(jnp.clip(t2, -1.0, 1.0) * _TSDF_SCALE).astype(jnp.int32)
-    tw_out[0] = (tq << 16) | w2.astype(jnp.int32)
-
-    oldc = col_in[0]
-    ro = ((oldc >> 21) & 0x7FF).astype(jnp.float32) * (1.0 / 2047.0)
-    go = ((oldc >> 10) & 0x7FF).astype(jnp.float32) * (1.0 / 2047.0)
-    bo = (oldc & 0x3FF).astype(jnp.float32) * (1.0 / 1023.0)
-    if with_color:
-        r2 = jnp.where(upd, (ro * old_w + new_r[:] * w_n) * inv, ro)
-        g2 = jnp.where(upd, (go * old_w + new_g[:] * w_n) * inv, go)
-        b2 = jnp.where(upd, (bo * old_w + new_b[:] * w_n) * inv, bo)
-    else:
-        r2, g2, b2 = ro, go, bo
-    ri = jnp.clip(r2 * 2047.0 + 0.5, 0, 2047).astype(jnp.int32)
-    gi = jnp.clip(g2 * 2047.0 + 0.5, 0, 2047).astype(jnp.int32)
-    bi = jnp.clip(b2 * 1023.0 + 0.5, 0, 1023).astype(jnp.int32)
-    col_out[0] = (ri << 21) | (gi << 10) | bi
+    @pl.when(jnp.logical_not(work))
+    def _copy_through():
+        tw_out[0] = tw_in[0]
+        col_out[0] = col_in[0]
 
 
 def prepare_planes(depth: jnp.ndarray, color, with_color: bool):
-    """Stack [d_hi | d_lo | r | g | b] along rows as one (5*Hp, Wp) f32
+    """Stack [d_hi | d_lo | r | g | b] along rows as one (5*Hp, Wp) BF16
     image, padded so the (SLAB_H, SLAB_W) DMA window always fits (padding
-    reads as depth 0 = invalid)."""
+    reads as depth 0 = invalid). d_hi + d_lo restore ~17 bits of the f32
+    depth; 8-bit colors are bf16-exact."""
     H, W = depth.shape
-    Hp = max(-(-H // 8) * 8, _SLAB_H)
+    Hp = max(-(-H // 16) * 16, _SLAB_H)
     Wp = max(-(-W // 128) * 128, _SLAB_W)
     d_hi_b = depth.astype(jnp.bfloat16)
     d_hi = d_hi_b.astype(jnp.float32)
@@ -252,7 +287,7 @@ def prepare_planes(depth: jnp.ndarray, color, with_color: bool):
     else:
         z = jnp.zeros_like(depth)
         planes = [d_hi, d_lo, z, z, z]
-    stack = jnp.stack(planes, axis=0)  # (5, H, W)
+    stack = jnp.stack(planes, axis=0).astype(jnp.bfloat16)  # (5, H, W)
     stack = jnp.pad(stack, ((0, 0), (0, Hp - H), (0, Wp - W)))
     return stack.reshape(5 * Hp, Wp)
 
@@ -284,11 +319,12 @@ def block_slab_fit(coords, intrinsic, extrinsic, voxel_size, hp=None, wp=None):
     v_max = jnp.ceil(jnp.max(v, axis=-1)).astype(jnp.int32)
     H, W = intrinsic.height, intrinsic.width
     if hp is None:
-        hp = max(-(-H // 8) * 8, _SLAB_H)
+        hp = max(-(-H // 16) * 16, _SLAB_H)
     if wp is None:
         wp = max(-(-W // 128) * 128, _SLAB_W)
-    # align origins down; clamp so the window stays inside the padded image
-    v0 = jnp.clip((v_min // 8) * 8, 0, hp - _SLAB_H)
+    # align origins down to the bf16 tile (16 sublanes / 128 lanes); clamp
+    # so the window stays inside the padded image
+    v0 = jnp.clip((v_min // 16) * 16, 0, hp - _SLAB_H)
     u0 = jnp.clip((u_min // 128) * 128, 0, wp - _SLAB_W)
     fit = front & (u_max - u0 < _SLAB_W) & (v_max - v0 < _SLAB_H) & (
         u_max >= 0
@@ -307,7 +343,7 @@ def integrate_blocks(
     v0,
     u0,
     fit,  # (M,) i32 from block_slab_fit
-    planes,  # (5H, W) f32 from prepare_planes
+    planes,  # (5*Hp, Wp) bf16 from prepare_planes
     intrinsic,
     extrinsic,
     voxel_size: float,
@@ -346,6 +382,7 @@ def integrate_blocks(
         H=H,
         W=W,
         Hp=Hp,
+        C=C1 - 1,
         fx=float(intrinsic.fx),
         fy=float(intrinsic.fy),
         cx=float(intrinsic.cx),
@@ -356,7 +393,6 @@ def integrate_blocks(
         weight_max=float(weight_max),
         with_color=with_color,
     )
-    row_spec = pl.BlockSpec((1, 32, 128), lambda i, *_: (_[0][i], 0, 0))
 
     def row_index(i, slots_s, *rest):
         return (slots_s[i], 0, 0)
@@ -375,7 +411,7 @@ def integrate_blocks(
             pl.BlockSpec((1, 32, 128), row_index),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_SLAB_H, 5 * _SLAB_W), jnp.float32),
+            pltpu.VMEM((_SLAB_H, 5 * _SLAB_W), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((5,)),
             pltpu.VMEM((32, 128), jnp.float32),
             pltpu.VMEM((32, 128), jnp.float32),

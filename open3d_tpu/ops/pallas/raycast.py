@@ -65,26 +65,59 @@ def build_tile_lists(
     tile: int = 16,
     K: int = 16,
     G: int = 8,
-    active_capacity: int = 16384,
+    visible_capacity: int = 2048,
 ):
     """Pass 1: per-tile depth-sorted candidate block lists (ref: the
     EstimateRange rasterization, VoxelBlockGridImpl.h:307-560, re-expressed
-    as a bounded-footprint pair sort instead of fragment atomics)."""
+    as a bounded-footprint pair sort instead of fragment atomics).
+
+    All active slots are scanned (round-3 capped the scan at 16384 and
+    silently dropped half the scene once the grid grew past it — the
+    measured 0.44 hit rate); only the FRUSTUM-VISIBLE blocks are compacted
+    into the fixed `visible_capacity` working set that feeds the pair sort,
+    so the sort size tracks what the camera sees, not the whole map.
+    Visible-set overflow is folded into the overflow stat."""
+    from open3d_tpu.core.masking import compact_indices
+
     TH = -(-intrinsic.height // tile)
     TW = -(-intrinsic.width // tile)
     T = TH * TW
     bs = vbg.block_size
 
-    slots, count = hm.active_slots(vbg.table, active_capacity)
-    A = active_capacity
-    live = jnp.arange(A) < count
+    # visibility over ALL slots (cheap vectorized projection of 8 corners)
+    occ = hm.occupied_mask(vbg.table)  # (C,)
+    all_coords = hm.unpack_coords(vbg.table)
+    corners = _corner_offsets().astype(jnp.float32) * bs  # (8, 3)
+    pw_all = all_coords.astype(jnp.float32)[:, None, :] * bs + corners
+    R = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    pc_all = pw_all @ R.T + t  # (C, 8, 3)
+    z_all = pc_all[..., 2]
+    vis_all = occ & (jnp.max(z_all, axis=-1) > depth_min) & (
+        jnp.min(z_all, axis=-1) < depth_max
+    )
+    # conservative image-plane cull for front-facing blocks
+    zs_all = jnp.maximum(z_all, 1e-6)
+    u_all = pc_all[..., 0] / zs_all * intrinsic.fx + intrinsic.cx
+    v_all = pc_all[..., 1] / zs_all * intrinsic.fy + intrinsic.cy
+    front_all = jnp.all(z_all > 1e-4, axis=-1)
+    on_all = (
+        (jnp.max(u_all, axis=-1) >= 0)
+        & (jnp.min(u_all, axis=-1) < intrinsic.width)
+        & (jnp.max(v_all, axis=-1) >= 0)
+        & (jnp.min(v_all, axis=-1) < intrinsic.height)
+    )
+    vis_all = vis_all & (on_all | ~front_all)
+
+    A = visible_capacity
+    vidx, vcount = compact_indices(vis_all, A)
+    vis_overflow = jnp.maximum(vcount - A, 0)
+    slots = jnp.where(jnp.arange(A) < jnp.minimum(vcount, A), vidx, -1)
+    live = slots >= 0
     keys = vbg.table[jnp.maximum(slots, 0)]
     coords = hm.unpack_coords(keys)  # (A, 3)
 
-    corners = _corner_offsets().astype(jnp.float32) * bs  # (8, 3)
     pw = coords.astype(jnp.float32)[:, None, :] * bs + corners
-    R = extrinsic[:3, :3]
-    t = extrinsic[:3, 3]
     pc = pw @ R.T + t  # (A, 8, 3)
     z = pc[..., 2]
     zsafe = jnp.maximum(z, 1e-6)
@@ -108,7 +141,13 @@ def build_tile_lists(
     )
     rw = tu1 - tu0 + 1
     rh = tv1 - tv0 + 1
-    KW = 8
+    # 16x16-cell footprint cap (256 px at tile=16): blocks closer than
+    # ~0.2 m at TUM intrinsics overflow it. Round-3's 8x8 cap pushed every
+    # block nearer than ~0.4 m into the per-FRAME extras list that gets
+    # appended to EVERY tile — which more than doubled march work
+    # (nk 5.4 + 8 extras measured). Wider cap => extras are only true
+    # camera-plane straddlers.
+    KW = 16
     fits = front & (rw <= KW) & (rh <= KW)  # rh bounded too (ADVICE r2 #1)
     ok = vis & on & front & fits
     # extras: visible but unrasterizable (straddles camera plane / too big)
@@ -139,7 +178,7 @@ def build_tile_lists(
     seg_start = jnp.searchsorted(tile_s, jnp.arange(T + 1, dtype=jnp.int32))
     counts = seg_start[1:] - seg_start[:-1]  # (T,)
     nk = jnp.minimum(counts, K).astype(jnp.int32)
-    overflow = jnp.sum(jnp.maximum(counts - K, 0))
+    overflow = jnp.sum(jnp.maximum(counts - K, 0)) + vis_overflow
     kidx = jnp.arange(K, dtype=jnp.int32)
     gidx = seg_start[:-1, None] + kidx[None, :]  # (T, K)
     validk = kidx[None, :] < nk[:, None]
@@ -149,8 +188,6 @@ def build_tile_lists(
     ).astype(jnp.int32)
 
     # extras (cap G)
-    from open3d_tpu.core.masking import compact_indices
-
     eidx, ecount = compact_indices(extra_mask, G)
     n_extra = jnp.minimum(ecount, G).astype(jnp.int32)
     evalid = jnp.arange(G) < n_extra
@@ -262,7 +299,7 @@ def _march_kernel(
         byf = by_ref[idx].astype(jnp.float32) * bs
         bzf = bz_ref[idx].astype(jnp.float32) * bs
 
-        # ray/AABB chord in camera-z parameter
+        # ray/AABB chord in camera-z parameter (per ray, once per block)
         def axis_rng(o, d, lo, hi):
             dd = jnp.where(jnp.abs(d) > 1e-9, d, 1e-9)
             t1 = (lo - o) / dd
@@ -277,21 +314,35 @@ def _march_kernel(
         step = (t_out - t_in) * (1.0 / M)
         has = t_out > t_in
 
-        bxi = bx_ref[idx] * B
-        byi = by_ref[idx] * B
-        bzi = bz_ref[idx] * B
+        # Early skip: a block none of this tile's rays intersect (the
+        # broadcast "extras", padding), or a tile whose every ray already
+        # found a nearer hit (block lists are front-to-back sorted), pays
+        # only the chord test. This is the reference's per-thread early
+        # march termination (VoxelBlockGridImpl.h:740+) at tile granularity.
+        all_done = jnp.all(zhit < big)
+        active = jnp.any(has) & jnp.logical_not(all_done)
 
-        def sample_body(m, inner):
-            zhit, pv, pz = inner
-            zm = t_in + (m + 0.5) * step
-            pxw = oX + dX * zm
-            pyw = oY + dY * zm
-            pzw = oZ + dZ * zm
-            lx = jnp.floor(pxw * inv_vs).astype(jnp.int32) - bxi
-            ly = jnp.floor(pyw * inv_vs).astype(jnp.int32) - byi
-            lz = jnp.floor(pzw * inv_vs).astype(jnp.int32) - bzi
+        def do_block(carry):
+            zhit, pv, pz = carry
+            bxi = bx_ref[idx] * B
+            byi = by_ref[idx] * B
+            bzi = bz_ref[idx] * B
+
+            # ALL M samples at once on the lane axis: (NR, M) arrays.
+            # Lanes are nearly free on the VPU, so the per-sample math runs
+            # in ~25 wide ops instead of round-3's M x ~30 thin ops; only
+            # the value select (one-hot MXU row pick + lane dynamic_gather)
+            # stays per-m.
+            mio = jax.lax.broadcasted_iota(
+                jnp.int32, (NR, M), 1
+            ).astype(jnp.float32)
+            zm = t_in + (mio + 0.5) * step  # (NR, M)
+            lx = jnp.floor((oX + dX * zm) * inv_vs).astype(jnp.int32) - bxi
+            ly = jnp.floor((oY + dY * zm) * inv_vs).astype(jnp.int32) - byi
+            lz = jnp.floor((oZ + dZ * zm) * inv_vs).astype(jnp.int32) - bzi
             inb = (
-                (lx >= 0) & (lx < B) & (ly >= 0) & (ly < B) & (lz >= 0) & (lz < B)
+                (lx >= 0) & (lx < B) & (ly >= 0) & (ly < B)
+                & (lz >= 0) & (lz < B)
             )
             flat = (
                 jnp.clip(lx, 0, B - 1)
@@ -300,28 +351,44 @@ def _march_kernel(
             )
             row = flat >> 7
             lane = flat & 127
-            oh = (
-                jax.lax.broadcasted_iota(jnp.int32, (NR, 32), 1) == row
-            ).astype(jnp.float32)
-            rows_sel = jnp.dot(oh, plane, preferred_element_type=jnp.float32)
-            val = jnp.take_along_axis(
-                rows_sel, jnp.broadcast_to(lane, (NR, 128)), axis=1
-            )[:, :1]
-            ok = has & inb & (val < 1.5)
-            cross = (pv > 0) & (val <= 0) & ok & (zm > pz)
-            zc = pz + pv / jnp.maximum(pv - val, 1e-6) * (zm - pz)
-            zhit = jnp.where(cross & (zc < zhit), zc, zhit)
-            # unknown space reads as "empty positive" (pv=1), matching the
+
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (NR, 32), 1)
+            vals_cols = []
+            for m in range(M):
+                oh = (r_iota == row[:, m : m + 1]).astype(jnp.float32)
+                rows_sel = jnp.dot(
+                    oh, plane, preferred_element_type=jnp.float32
+                )
+                val_m = jnp.take_along_axis(
+                    rows_sel,
+                    jnp.broadcast_to(lane[:, m : m + 1], (NR, 128)),
+                    axis=1,
+                )[:, :1]
+                vals_cols.append(val_m)
+            vals = jnp.concatenate(vals_cols, axis=1)  # (NR, M)
+
+            ok = has & inb & (vals < 1.5)
+            # unknown space reads as "empty positive" (1.0), matching the
             # reference march: a ray entering negative TSDF straight from
             # unallocated space still registers the crossing.
-            pv = jnp.where(ok, val, 1.0)
-            pz = jnp.where(ok | (zm > pz), zm, pz)
+            v_eff = jnp.where(ok, vals, 1.0)
+            # pairwise zero-crossing detection (prev sample -> this one),
+            # with the previous block's last sample carried in as pair 0
+            vprev = jnp.concatenate([pv, v_eff[:, : M - 1]], axis=1)
+            zprev = jnp.concatenate([pz, zm[:, : M - 1]], axis=1)
+            cross = (vprev > 0) & (v_eff <= 0) & ok & (zm > zprev)
+            zc = zprev + vprev / jnp.maximum(vprev - v_eff, 1e-6) * (
+                zm - zprev
+            )
+            cand = jnp.where(cross, zc, big)
+            zhit = jnp.minimum(zhit, jnp.min(cand, axis=1, keepdims=True))
+
+            pv = jnp.where(ok[:, M - 1 :], vals[:, M - 1 :], 1.0)
+            zlast = zm[:, M - 1 :]
+            pz = jnp.where(ok[:, M - 1 :] | (zlast > pz), zlast, pz)
             return zhit, pv, pz
 
-        inner = (zhit, pv, pz)
-        for m in range(M):  # static M: fully unrolled
-            inner = sample_body(float(m), inner)
-        return inner
+        return jax.lax.cond(active, do_block, lambda c: c, carry)
 
     init = (inf, jnp.full((NR, 1), 1.0, jnp.float32), jnp.zeros((NR, 1), jnp.float32))
     zhit, _, _ = jax.lax.fori_loop(0, nk_tot, block_body, init)
@@ -337,9 +404,9 @@ def march_tiles(
     depth_min: float,
     depth_max: float,
     tile: int = 16,
-    K: int = 16,
+    K: int = 24,
     G: int = 8,
-    M: int = 10,
+    M: int = 8,
     interpret: bool = False,
 ):
     """Pass 2: march all tiles; returns the (H, W) hit-depth map (0 = miss)."""
@@ -418,8 +485,8 @@ def raycast_depth(
     depth_min: float = 0.1,
     depth_max: float = 3.0,
     tile: int = 16,
-    K: int = 16,
-    M: int = 10,
+    K: int = 24,
+    M: int = 8,
     interpret: bool = False,
 ):
     """Full fast raycast -> (depth (H,W) f32 with 0 = miss, overflow stat)."""

@@ -97,12 +97,15 @@ old = jax.jit(
 )
 d_old = timeit("raycast_old(XLA)", old, vbg, extr[0], n=2)
 dn, do, dt_ = np.asarray(d_fast), np.asarray(d_old), np.asarray(depths[0])
-both = (dn > 0) & (dt_ > 0)
+# compare only within integration range (true depths beyond depth_max were
+# never integrated — counting them as misses is a harness artifact)
+in_range = (dt_ > 0) & (dt_ < 2.9)
+both = (dn > 0) & in_range
 err = np.abs(dn - dt_)[both]
 print(
-    f"raycast parity: hit {np.mean(dn>0):.3f} vs true {np.mean(dt_>0):.3f}, "
+    f"raycast parity: hit {np.mean(dn>0):.3f}, "
     f"median err {np.median(err)*1000:.2f} mm, "
-    f"miss-where-true {np.mean((dn==0)&(dt_>0)):.4f}",
+    f"miss-in-range {np.mean((dn==0)&in_range):.4f}",
     flush=True,
 )
 
