@@ -257,3 +257,18 @@ def build_depth_pyramid(depth, levels: int, diff_threshold: float = 0.07):
     for _ in range(levels - 1):
         pyr.append(pyrdown_depth(pyr[-1], diff_threshold))
     return pyr
+
+
+def build_normal_pyramid(normals, levels: int):
+    """(H, W, 3) unit-normal pyramid: 2x2 mean + renormalize per level
+    (zero rows stay zero = invalid). Feeds odometry when the caller has a
+    better normal map than the vertex-map cross products (e.g. the
+    raycaster's TSDF-gradient normals, VoxelBlockGrid.cpp:354-367)."""
+    pyr = [normals]
+    for _ in range(levels - 1):
+        n = pyr[-1]
+        H2, W2 = n.shape[0] // 2, n.shape[1] // 2
+        m = n[: 2 * H2, : 2 * W2].reshape(H2, 2, W2, 2, 3).mean(axis=(1, 3))
+        norm = jnp.linalg.norm(m, axis=-1, keepdims=True)
+        pyr.append(jnp.where(norm > 0.3, m / jnp.maximum(norm, 1e-9), 0.0))
+    return pyr

@@ -406,25 +406,26 @@ def build_block_index(
     vbg: VoxelBlockGrid,
     center_world: jnp.ndarray,
     extent: int,
-    active_capacity: int = 16384,
 ) -> BlockIndex:
-    """Dense row-index volume of `extent`^3 blocks centered at center_world."""
+    """Dense row-index volume of `extent`^3 blocks centered at center_world.
+
+    Scatters straight from the full table (slot index == payload row), so
+    there is no active-set cap to overflow (round-3 compacted through a
+    16384-slot buffer first, which silently dropped blocks on big scenes)."""
     C = vbg.capacity
     E = int(extent)
-    slots, count = hm.active_slots(vbg.table, active_capacity)
-    live = jnp.arange(active_capacity) < count
-    keys = vbg.table[jnp.maximum(slots, 0)]
-    coords = hm.unpack_coords(keys)  # (A, 3)
+    occ = hm.occupied_mask(vbg.table)  # (C,)
+    coords = hm.unpack_coords(vbg.table)
     origin = (
         jnp.floor(center_world / vbg.block_size).astype(jnp.int32) - E // 2
     )
     rel = coords - origin
-    inr = live & jnp.all((rel >= 0) & (rel < E), axis=-1)
+    inr = occ & jnp.all((rel >= 0) & (rel < E), axis=-1)
     lin = rel[:, 0] + rel[:, 1] * E + rel[:, 2] * E * E
     rows = (
         jnp.full((E * E * E + 1,), C, jnp.int32)
         .at[jnp.where(inr, lin, E * E * E)]
-        .set(jnp.where(inr, slots, C), mode="drop")
+        .set(jnp.where(inr, jnp.arange(C, dtype=jnp.int32), C), mode="drop")
     )
     return BlockIndex(rows=rows[: E * E * E], origin=origin, extent=E)
 
@@ -643,10 +644,66 @@ def estimate_range(
 
 
 class RaycastResult(NamedTuple):
+    """Raycast frame outputs (ref: VoxelBlockGrid::RayCast render attrs,
+    t/geometry/VoxelBlockGrid.cpp:354-367 — depth/vertex/normal/color/
+    index/interp_ratio/mask)."""
+
     depth: jnp.ndarray  # (H, W) f32, 0 = miss
     vertex: jnp.ndarray  # (H, W, 3) world-frame
     color: jnp.ndarray  # (H, W, 3)
     mask: jnp.ndarray  # (H, W) bool
+    normal: Optional[jnp.ndarray] = None  # (H, W, 3) TSDF-gradient normals
+    index: Optional[jnp.ndarray] = None  # (H, W, 8) i32 flat voxel ids
+    interp_ratio: Optional[jnp.ndarray] = None  # (H, W, 8) trilinear wts
+
+
+def _gradient_normals(vbg, bindex, p, dirs, mask):
+    """Camera-facing TSDF-gradient normals at world points p (N, 3)
+    (ref: the in-kernel gradient in VoxelBlockGridImpl.h:740-860)."""
+    eps = vbg.voxel_size
+    comps = []
+    for ax in range(3):
+        off = jnp.zeros((3,), jnp.float32).at[ax].set(eps)
+        tp, _ = _sample_tsdf_trilinear_indexed(vbg, bindex, p + off)
+        tm, _ = _sample_tsdf_trilinear_indexed(vbg, bindex, p - off)
+        comps.append(tp - tm)
+    g = jnp.stack(comps, axis=-1)
+    n = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+    # orient toward the camera (against the ray direction)
+    flip = jnp.sum(n * dirs, axis=-1, keepdims=True) > 0
+    n = jnp.where(flip, -n, n)
+    return jnp.where(mask[..., None], n, 0.0)
+
+
+def _index_ratio_maps(vbg, bindex, p, mask):
+    """Per-hit 8-corner flat voxel indices + trilinear weights — the
+    differentiable-rendering surface the reference exposes as the
+    index/interp_ratio render attrs (VoxelBlockGrid.cpp:354-367). A
+    caller can reconstruct d(tsdf)/d(payload) from these alone."""
+    B = vbg.block_resolution
+    B3 = B * B * B
+    g = p / vbg.voxel_size
+    g0 = jnp.floor(g).astype(jnp.int32)
+    f = g - g0.astype(jnp.float32)
+    idxs, wts = [], []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                corner = jnp.array([dx, dy, dz], jnp.int32)
+                voxel = g0 + corner
+                block = jnp.floor_divide(voxel, B)
+                local = voxel - block * B
+                flat = local[..., 0] + local[..., 1] * B + local[..., 2] * B * B
+                rows = _index_rows(vbg, bindex, block)
+                wt = (
+                    jnp.where(dx, f[..., 0], 1.0 - f[..., 0])
+                    * jnp.where(dy, f[..., 1], 1.0 - f[..., 1])
+                    * jnp.where(dz, f[..., 2], 1.0 - f[..., 2])
+                )
+                found = rows < vbg.capacity
+                idxs.append(jnp.where(mask & found, rows * B3 + flat, -1))
+                wts.append(jnp.where(mask & found, wt, 0.0))
+    return jnp.stack(idxs, axis=-1), jnp.stack(wts, axis=-1)
 
 
 def raycast(
@@ -657,6 +714,8 @@ def raycast(
     depth_max: float = 3.0,
     max_steps: int = 96,
     with_color: bool = True,
+    with_normals: bool = False,
+    with_index_ratio: bool = False,
     use_range_map: bool = True,
     max_probes: int = 8,
     use_pallas: Optional[bool] = None,
@@ -681,7 +740,8 @@ def raycast(
         use_pallas = is_tpu() and vbg.block_resolution == 16
     if use_pallas:
         return _raycast_pallas(
-            vbg, intrinsic, extrinsic, depth_min, depth_max, with_color
+            vbg, intrinsic, extrinsic, depth_min, depth_max, with_color,
+            with_normals, with_index_ratio,
         )
     H, W = intrinsic.height, intrinsic.width
     # `anchor` is a runtime 1.0: multiplying the pixel-ray table by it stops
@@ -791,7 +851,20 @@ def raycast(
         color_img = jnp.where(mask[:, None], col, 0.0).reshape(H, W, 3)
     else:
         color_img = jnp.zeros((H, W, 3), jnp.float32)
-    return RaycastResult(depth=depth_img, vertex=vertex, color=color_img, mask=mask.reshape(H, W))
+    normal_img = None
+    if with_normals:
+        nrm = _gradient_normals(vbg, bindex, p_hit, dirs, mask)
+        normal_img = nrm.reshape(H, W, 3)
+    index_img = ratio_img = None
+    if with_index_ratio:
+        idx8, wt8 = _index_ratio_maps(vbg, bindex, p_hit, mask)
+        index_img = idx8.reshape(H, W, 8)
+        ratio_img = wt8.reshape(H, W, 8)
+    return RaycastResult(
+        depth=depth_img, vertex=vertex, color=color_img,
+        mask=mask.reshape(H, W), normal=normal_img, index=index_img,
+        interp_ratio=ratio_img,
+    )
 
 
 def _raycast_pallas(
@@ -801,8 +874,10 @@ def _raycast_pallas(
     depth_min: float,
     depth_max: float,
     with_color: bool,
+    with_normals: bool = False,
+    with_index_ratio: bool = False,
 ) -> RaycastResult:
-    """TPU fast path: Pallas tile-march depth + XLA vertex/color assembly."""
+    """TPU fast path: Pallas tile-march depth + XLA map assembly."""
     from open3d_tpu.ops.pallas import raycast as prc
 
     H, W = intrinsic.height, intrinsic.width
@@ -820,15 +895,35 @@ def _raycast_pallas(
     dirs = jnp.stack([x, y, jnp.ones_like(x)], axis=-1) @ R
     p_hit = origin + dirs * depth_img[..., None]
     vertex = jnp.where(mask[..., None], p_hit, 0.0)
-    if with_color and vbg.has_color:
+    need_index = (with_color and vbg.has_color) or with_normals or with_index_ratio
+    bindex = None
+    if need_index:
         extent = min(int(2.0 * depth_max / vbg.block_size) + 3, 128)
         bindex = build_block_index(vbg, origin, extent)
+    if with_color and vbg.has_color:
         voxel = jnp.floor(p_hit / vbg.voxel_size).astype(jnp.int32)
         col = _sample_color_indexed(vbg, bindex, voxel.reshape(-1, 3))
         color_img = jnp.where(mask[..., None], col.reshape(H, W, 3), 0.0)
     else:
         color_img = jnp.zeros((H, W, 3), jnp.float32)
-    return RaycastResult(depth=depth_img, vertex=vertex, color=color_img, mask=mask)
+    normal_img = None
+    if with_normals:
+        nrm = _gradient_normals(
+            vbg, bindex, p_hit.reshape(-1, 3), dirs.reshape(-1, 3),
+            mask.reshape(-1),
+        )
+        normal_img = nrm.reshape(H, W, 3)
+    index_img = ratio_img = None
+    if with_index_ratio:
+        idx8, wt8 = _index_ratio_maps(
+            vbg, bindex, p_hit.reshape(-1, 3), mask.reshape(-1)
+        )
+        index_img = idx8.reshape(H, W, 8)
+        ratio_img = wt8.reshape(H, W, 8)
+    return RaycastResult(
+        depth=depth_img, vertex=vertex, color=color_img, mask=mask,
+        normal=normal_img, index=index_img, interp_ratio=ratio_img,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,11 @@ class SLAMConfig:
     # color sample pass costs ~2 ms/frame — keep off in the hot loop and
     # raycast with color on demand for visualization)
     raycast_color: bool = False
+    # TSDF-gradient normal map from the raycaster, consumed by the next
+    # frame's point-to-plane tracking instead of vertex-map cross products
+    # (ref: the normal render attr, t/geometry/VoxelBlockGrid.cpp:354-367).
+    # Costs 6 trilinear samples per hit pixel; off in the speed benchmarks.
+    raycast_normals: bool = False
 
 
 @partial(
@@ -77,6 +82,7 @@ class FrameResult(NamedTuple):
     inlier_rmse: jnp.ndarray
     raycast_depth: jnp.ndarray  # (H, W) model frame for the NEXT track
     raycast_color: jnp.ndarray  # (H, W, 3)
+    raycast_normal: Optional[jnp.ndarray]  # (H, W, 3) or None (config)
     touched_blocks: jnp.ndarray  # () int32 pre-clamp touch count (overflow
     # detection: > config.frame_block_capacity means truncated integration)
 
@@ -102,15 +108,23 @@ def synthesize_model_frame(
     """Raycast the TSDF from the current pose (ref: Model::SynthesizeModelFrame,
     slam/Model.cpp:38-49). extrinsic = world->frame = inv(T_frame_to_world)."""
     cfg = model.config
-    return vbg_mod.raycast(
+    extrinsic = lie.invert_se3(model.T_frame_to_world)
+    ray = vbg_mod.raycast(
         model.vbg,
         intrinsic,
-        lie.invert_se3(model.T_frame_to_world),
+        extrinsic,
         depth_min=cfg.depth_min,
         depth_max=cfg.depth_max,
         max_steps=cfg.raycast_max_steps,
         with_color=cfg.with_color and cfg.raycast_color,
+        with_normals=cfg.raycast_normals,
     )
+    if ray.normal is not None:
+        # raycast normals are world-frame; tracking consumes them alongside
+        # the camera-frame vertex maps -> rotate into the frame
+        n_cam = ray.normal @ extrinsic[:3, :3].T
+        ray = ray._replace(normal=n_cam)
+    return ray
 
 
 def track_frame_to_model(
@@ -123,10 +137,12 @@ def track_frame_to_model(
         odom.OdometryConvergenceCriteria(3),
         odom.OdometryConvergenceCriteria(1),
     ),
+    model_normals=None,
 ) -> odom.OdometryResult:
     """Frame-to-model odometry (ref: Model::TrackFrameToModel, Model.cpp:68-89):
     source = input frame, target = raycast of the model at the previous pose;
-    the returned T maps input-frame points into the model-frame (delta pose)."""
+    the returned T maps input-frame points into the model-frame (delta pose).
+    model_normals: optional raycast TSDF-gradient normal map for the target."""
     src = RGBDImage(color=jnp.zeros_like(input_depth), depth=input_depth)
     tgt = RGBDImage(color=jnp.zeros_like(model_depth), depth=model_depth)
     return odom.rgbd_odometry_multi_scale(
@@ -135,6 +151,7 @@ def track_frame_to_model(
         intrinsic,
         method=model.config.odometry_method,
         criteria=criteria,
+        target_normals=model_normals,
     )
 
 
@@ -176,6 +193,7 @@ def slam_step(
     model_depth: jnp.ndarray,  # raycast from previous step (zeros on frame 0)
     intrinsic: PinholeCameraIntrinsic,
     fitness_threshold: float = 0.1,
+    model_normal: Optional[jnp.ndarray] = None,  # raycast normals (config)
 ) -> FrameResult:
     """One dense-SLAM frame: track -> update pose -> integrate -> raycast.
 
@@ -186,7 +204,9 @@ def slam_step(
     """
     is_first = model.frame_id == 0
 
-    result = track_frame_to_model(model, depth, model_depth, intrinsic)
+    result = track_frame_to_model(
+        model, depth, model_depth, intrinsic, model_normals=model_normal
+    )
     ok = (~is_first) & (result.fitness > fitness_threshold)
     delta = jnp.where(ok, result.transformation, jnp.eye(4, dtype=jnp.float32))
     # odometry delta maps new-frame points into the previous frame
@@ -207,5 +227,6 @@ def slam_step(
         inlier_rmse=result.inlier_rmse,
         raycast_depth=ray.depth,
         raycast_color=ray.color,
+        raycast_normal=ray.normal,
         touched_blocks=touched,
     )

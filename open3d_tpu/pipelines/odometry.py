@@ -214,16 +214,26 @@ def rgbd_odometry_multi_scale(
     ),
     loss: OdometryLossParams = OdometryLossParams(),
     bilateral_filter: bool = True,
+    target_normals: Optional[jnp.ndarray] = None,
 ) -> OdometryResult:
     """Coarse-to-fine dense odometry (ref: RGBDOdometryMultiScale,
     RGBDOdometry.cpp:56-186). Depths must already be metric float32 with 0 as
     invalid (use image.clip_transform). Returns T such that
     target_point ~= T @ source_point (source-to-target, reference convention).
+
+    target_normals: optional (H, W, 3) unit normal map for the target
+    (e.g. the raycaster's TSDF-gradient normals); when given it replaces
+    the vertex-map cross-product normals at every pyramid level.
     """
     n_levels = len(criteria)
 
     src_depth_pyr = im.build_depth_pyramid(source.depth, n_levels)
     tgt_depth_pyr = im.build_depth_pyramid(target.depth, n_levels)
+    tgt_nrm_pyr = (
+        im.build_normal_pyramid(target_normals, n_levels)
+        if target_normals is not None
+        else None
+    )
     use_intensity = method in (INTENSITY, HYBRID)
     if use_intensity:
         src_int_pyr = im.build_intensity_pyramid(source.color, n_levels)
@@ -243,7 +253,11 @@ def rgbd_odometry_multi_scale(
             td_f, sd_f = td, sd
         src_vtx = im.create_vertex_map(sd_f, intr_l)
         tgt_vtx = im.create_vertex_map(td_f, intr_l)
-        tgt_nrm = im.create_normal_map(tgt_vtx)
+        tgt_nrm = (
+            tgt_nrm_pyr[lvl]
+            if tgt_nrm_pyr is not None
+            else im.create_normal_map(tgt_vtx)
+        )
         ld = _LevelData(
             src_vtx,
             src_int_pyr[lvl] if use_intensity else None,
@@ -255,11 +269,12 @@ def rgbd_odometry_multi_scale(
         T = _gn_level(ld, T, method, criteria[n_levels - 1 - lvl], loss)
 
     # final metrics at the finest level
+    tgt_vtx0 = im.create_vertex_map(tgt_depth_pyr[0], intrinsic)
     ld = _LevelData(
         im.create_vertex_map(src_depth_pyr[0], intrinsic),
         src_int_pyr[0] if use_intensity else None,
-        im.create_vertex_map(tgt_depth_pyr[0], intrinsic),
-        im.create_normal_map(im.create_vertex_map(tgt_depth_pyr[0], intrinsic)),
+        tgt_vtx0,
+        tgt_nrm_pyr[0] if tgt_nrm_pyr is not None else im.create_normal_map(tgt_vtx0),
         tgt_int_pyr[0] if use_intensity else None,
         intrinsic,
     )
