@@ -241,3 +241,115 @@ def compute_point_cloud_distance(source: PointCloud, target: PointCloud) -> jnp.
     (ref: legacy PointCloud::ComputePointCloudDistance)."""
     _, d2 = nns.one_nn_search(source.positions, target.positions, target_mask=target.mask)
     return jnp.where(source.mask, jnp.sqrt(jnp.maximum(d2, 0.0)), 0.0)
+
+
+def orient_normals_consistent_tangent_plane(
+    pcd: PointCloud,
+    k: int = 10,
+    max_sweeps: int | None = None,
+) -> PointCloud:
+    """Globally consistent normal orientation via tangent-plane propagation
+    (ref: PointCloud::OrientNormalsConsistentTangentPlane, PointCloud.h:545;
+    geometry/EstimateNormals.cpp — Hoppe '92 Riemannian-graph MST).
+
+    TPU design: the reference traverses an explicit minimum spanning tree of
+    the kNN graph weighted by 1 - |n_i . n_j| — a sequential DFS. Here the
+    same seed (the +z-extremal point, normal forced upward) propagates as a
+    vectorized WAVEFRONT over the same graph: every sweep, each unoriented
+    point adopts the orientation of its most parallel already-oriented
+    neighbor (a lax.while_loop with an on-device no-change predicate). On
+    smooth surfaces the strongest-edge choice follows the same structure
+    the MST picks; points the directed kNN graph never reaches keep their
+    estimated sign.
+    """
+    if "normals" not in pcd.attrs:
+        raise ValueError("orient_normals_consistent_tangent_plane requires normals")
+    pos = pcd.positions
+    n = pcd.attrs["normals"]
+    N = pos.shape[0]
+    idx, _ = nns.knn_search(pos, pos, k, target_mask=pcd.mask)  # (N, k)
+    nbr_ok = (idx >= 0) & pcd.mask[:, None]
+    safe_idx = jnp.maximum(idx, 0)
+    dots = jnp.einsum("ni,nki->nk", n, n[safe_idx])  # n_i . n_j
+
+    z = jnp.where(pcd.mask, pos[:, 2], -jnp.inf)
+    seed = jnp.argmax(z)
+    seed_sign = jnp.where(n[seed, 2] >= 0.0, 1.0, -1.0)
+    sign0 = jnp.zeros((N,), jnp.float32).at[seed].set(seed_sign)
+
+    if max_sweeps is None:
+        max_sweeps = int(4 * (N ** 0.5)) + 64
+
+    def cond(state):
+        sign, changed, it = state
+        return changed & (it < max_sweeps)
+
+    def body(state):
+        sign, _, it = state
+        nbr_sign = jnp.where(nbr_ok, sign[safe_idx], 0.0)  # (N, k)
+        strength = jnp.where(nbr_sign != 0.0, jnp.abs(dots), -1.0)
+        best = jnp.argmax(strength, axis=1)
+        b = best[:, None]
+        bs = jnp.take_along_axis(nbr_sign, b, axis=1)[:, 0]
+        bd = jnp.take_along_axis(dots, b, axis=1)[:, 0]
+        bw = jnp.take_along_axis(strength, b, axis=1)[:, 0]
+        prop = jnp.where(bd >= 0, bs, -bs)
+        fresh = (sign == 0.0) & (bw > 0.0) & pcd.mask
+        new = jnp.where(fresh, prop, sign)
+        return new, jnp.any(new != sign), it + 1
+
+    sign, _, _ = jax.lax.while_loop(cond, body, (sign0, jnp.bool_(True), 0))
+    sign = jnp.where(sign == 0.0, 1.0, sign)
+    return pcd.with_attrs(normals=n * sign[:, None])
+
+
+def compute_boundary_points(
+    pcd: PointCloud,
+    radius: float,
+    max_nn: int = 30,
+    angle_threshold: float = 90.0,
+) -> jnp.ndarray:
+    """Boundary-point mask by the tangent-plane angular-gap criterion
+    (ref: PointCloud::ComputeBoundaryPoints, PointCloud.h:502; kernel
+    t/geometry/kernel/PointCloudImpl.h ComputeBoundaryPoints — a point is a
+    boundary point if its neighbors leave an angular gap larger than
+    `angle_threshold` degrees around it in its tangent plane).
+
+    Returns a (N,) bool mask (False on invalid points). Requires normals.
+    """
+    if "normals" not in pcd.attrs:
+        raise ValueError("compute_boundary_points requires normals")
+    pos = pcd.positions
+    nrm = pcd.attrs["normals"]
+    idx, _, cnt = nns.hybrid_search(pos, pos, radius, max_nn, target_mask=pcd.mask)
+    ok = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    d = pos[safe] - pos[:, None, :]  # (N, k, 3)
+    # tangent basis (u, v) per point
+    ref = jnp.where(
+        (jnp.abs(nrm[:, 2:3]) < 0.9), jnp.asarray([0.0, 0.0, 1.0]),
+        jnp.asarray([1.0, 0.0, 0.0]),
+    )
+    u = jnp.cross(nrm, jnp.broadcast_to(ref, nrm.shape))
+    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-9)
+    v = jnp.cross(nrm, u)
+    au = jnp.einsum("nki,ni->nk", d, u)
+    av = jnp.einsum("nki,ni->nk", d, v)
+    # self-match / invalid rows park at +inf so they sort to the tail
+    ang = jnp.where(ok & (au**2 + av**2 > 1e-12), jnp.arctan2(av, au), jnp.inf)
+    ang_s = jnp.sort(ang, axis=1)  # (N, k) valid angles first
+    nv = jnp.sum(jnp.isfinite(ang_s), axis=1)  # valid angle count
+    nxt = jnp.concatenate([ang_s[:, 1:], ang_s[:, :1]], axis=1)
+    gap = jnp.where(jnp.isfinite(nxt) & jnp.isfinite(ang_s), nxt - ang_s, 0.0)
+    # wrap-around gap: first valid + 2pi - last valid
+    first = ang_s[:, 0]
+    karange = jnp.arange(ang_s.shape[1])
+    last = jnp.take_along_axis(
+        ang_s, jnp.maximum(nv - 1, 0)[:, None], axis=1
+    )[:, 0]
+    wrap = jnp.where(nv >= 2, first + 2.0 * jnp.pi - last, 2.0 * jnp.pi)
+    max_gap = jnp.maximum(jnp.max(gap, axis=1), wrap)
+    thresh = jnp.deg2rad(angle_threshold)
+    boundary = pcd.mask & ((nv < 3) | (max_gap > thresh))
+    del karange, cnt
+    return boundary

@@ -284,3 +284,120 @@ def hidden_point_removal(
     hull = ConvexHull(aug)
     vis = hull.vertices[hull.vertices < len(pts)]
     return ids[np.sort(vis)].astype(np.int32)
+
+
+def detect_planar_patches(
+    pcd,
+    normal_variance_threshold_deg: float = 60.0,
+    coplanarity_deg: float = 75.0,
+    distance_threshold: float = 0.02,
+    min_num_points: int = 30,
+    knn: int = 16,
+    max_patches: int = 32,
+):
+    """Planar patch detection (ref: PointCloud::DetectPlanarPatches,
+    PointCloud.h + geometry/PointCloudPlanarPatchDetection.cpp — Araujo &
+    Oliveira 2020 robust planar patches).
+
+    TPU design: the reference grows patches through an octree split/merge
+    hierarchy with robust plane statistics — recursive and data-dependent.
+    Here patches form by MIN-LABEL PROPAGATION over the kNN graph restricted
+    to planar-compatible edges (the same fixed-point machinery as
+    cluster_dbscan): an edge i-j survives iff the normals agree within
+    `normal_variance_threshold_deg` AND each point lies within
+    `distance_threshold` of the other's tangent plane (the coplanarity
+    test). Components with >= min_num_points become patches; each returns
+    an oriented bounding box in its plane frame (normal + in-plane PCA
+    axes), like the reference's OBB output.
+
+    Returns (labels (N,) int32 with -1 = unassigned, obbs:
+    OrientedBoundingBox batched over the leading axis (max_patches,...),
+    n_patches int32). Requires normals.
+    """
+    from open3d_tpu.core import linalg as _linalg
+    from open3d_tpu.geometry.bounding_volume import OrientedBoundingBox
+
+    if "normals" not in pcd.attrs:
+        raise ValueError("detect_planar_patches requires normals")
+    pos = pcd.positions
+    nrm = pcd.attrs["normals"]
+    n = pos.shape[0]
+    mask = pcd.mask
+
+    idx, _ = nns.knn_search(pos, pos, knn, target_mask=mask)
+    ok = (idx >= 0) & mask[:, None]
+    safe = jnp.maximum(idx, 0)
+    nj = nrm[safe]  # (N, k, 3)
+    pj = pos[safe]
+    cos_n = jnp.cos(jnp.deg2rad(normal_variance_threshold_deg))
+    ndot = jnp.abs(jnp.einsum("ni,nki->nk", nrm, nj))
+    d_ij = jnp.abs(jnp.einsum("ni,nki->nk", nrm, pj - pos[:, None, :]))
+    d_ji = jnp.abs(jnp.einsum("nki,nki->nk", nj, pos[:, None, :] - pj))
+    edge = ok & (ndot > cos_n) & (d_ij < distance_threshold) & (d_ji < distance_threshold)
+
+    labels0 = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), _INT_BIG)
+
+    def body(state):
+        labels, _ = state
+        neigh = jnp.where(edge, labels[safe], _INT_BIG)
+        new = jnp.minimum(labels, jnp.min(neigh, axis=1))
+        new = jnp.where(mask, new, _INT_BIG)
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (labels0, jnp.bool_(True))
+    )
+
+    # component sizes -> keep the max_patches biggest with >= min_num_points
+    sizes = jnp.zeros((n,), jnp.int32).at[jnp.minimum(labels, n - 1)].add(
+        jnp.where(mask, 1, 0)
+    )
+    root_size = jnp.where(mask, sizes[jnp.minimum(labels, n - 1)], 0)
+    is_root = mask & (labels == jnp.arange(n))
+    root_order = jnp.argsort(jnp.where(is_root, -sizes, 1))[:max_patches]
+    picked = sizes[root_order] >= min_num_points
+    n_patches = jnp.sum(picked.astype(jnp.int32))
+
+    # per-patch plane frame + OBB (vectorized over max_patches)
+    def patch_obb(root, valid):
+        sel = mask & (labels == root) & valid
+        w = sel.astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(w), 1.0)
+        c = jnp.sum(pos * w[:, None], axis=0) / cnt
+        nmean = jnp.sum(nrm * w[:, None], axis=0)
+        nhat = nmean / jnp.maximum(jnp.linalg.norm(nmean), 1e-9)
+        d = (pos - c) * w[:, None]
+        # in-plane covariance -> principal tangent axes
+        dt = d - jnp.sum(d * nhat, axis=-1, keepdims=True) * nhat
+        cov = dt.T @ dt / cnt
+        _, evecs = _linalg.eigh3x3(cov)
+        u = evecs[:, 2]
+        u = u - jnp.dot(u, nhat) * nhat
+        u = u / jnp.maximum(jnp.linalg.norm(u), 1e-9)
+        v = jnp.cross(nhat, u)
+        R = jnp.stack([u, v, nhat], axis=1)  # columns = axes
+        proj = d @ R  # (N, 3) coords in the plane frame
+        lo = jnp.min(jnp.where(sel[:, None], proj, jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(sel[:, None], proj, -jnp.inf), axis=0)
+        lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+        hi = jnp.where(jnp.isfinite(hi), hi, 0.0)
+        ext = jnp.maximum(hi - lo, 1e-6)
+        center = c + R @ ((lo + hi) * 0.5)
+        return center, R, ext
+
+    centers, Rs, exts = jax.vmap(patch_obb)(
+        labels[root_order], picked
+    )
+    obbs = OrientedBoundingBox(center=centers, rotation=Rs, extent=exts)
+
+    # compact labels: -1 for unassigned/small patches
+    rank = jnp.full((n + 1,), -1, jnp.int32)
+    rank = rank.at[jnp.where(picked, root_order, n)].set(
+        jnp.arange(max_patches, dtype=jnp.int32), mode="drop"
+    )
+    out_labels = jnp.where(
+        mask & (root_size >= min_num_points),
+        rank[jnp.minimum(labels, n)],
+        -1,
+    )
+    return out_labels, obbs, n_patches

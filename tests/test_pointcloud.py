@@ -118,3 +118,42 @@ def test_unproject_project_roundtrip():
     rgbd = project_to_rgbd(pcd, intr)
     center = np.asarray(rgbd.depth)[10:38, 10:54]
     np.testing.assert_allclose(center, 2.0, atol=1e-3)
+
+
+class TestOrientAndBoundary:
+    def test_orient_normals_consistent_tangent_plane_sphere(self):
+        """Estimated normals have random signs; MST-style propagation must
+        make >=95% point outward on a sphere (ref: EstimateNormals.cpp
+        orientation propagation)."""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        n = 2000
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pcd = PointCloud.create(jnp.asarray(v, jnp.float32))
+        pcd = pc_ops.estimate_normals(pcd, max_nn=12)
+        pcd = pc_ops.orient_normals_consistent_tangent_plane(pcd, k=10)
+        nrm = np.asarray(pcd.attrs["normals"])
+        outward = (nrm * v).sum(-1) > 0
+        assert outward.mean() > 0.95, f"only {outward.mean():.2%} outward"
+
+    def test_boundary_points_on_square_patch(self):
+        """(ref: PointCloud::ComputeBoundaryPoints, PointCloud.h:502)"""
+        import numpy as np
+
+        g = np.linspace(0.0, 1.0, 30, dtype=np.float32)
+        xx, yy = np.meshgrid(g, g)
+        pts = np.stack([xx.ravel(), yy.ravel(), np.zeros(xx.size, np.float32)], -1)
+        pcd = PointCloud.create(jnp.asarray(pts))
+        pcd = pc_ops.estimate_normals(pcd, max_nn=12)
+        b = np.asarray(pc_ops.compute_boundary_points(pcd, radius=0.12, max_nn=24))
+        edge = (
+            (pts[:, 0] < 0.01) | (pts[:, 0] > 0.99)
+            | (pts[:, 1] < 0.01) | (pts[:, 1] > 0.99)
+        )
+        interior = ~edge & (pts[:, 0] > 0.15) & (pts[:, 0] < 0.85) & (
+            pts[:, 1] > 0.15
+        ) & (pts[:, 1] < 0.85)
+        assert b[edge].mean() > 0.7, f"edge recall {b[edge].mean():.2f}"
+        assert b[interior].mean() < 0.05, f"interior fp {b[interior].mean():.2f}"

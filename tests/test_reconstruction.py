@@ -4,6 +4,7 @@ This is the hermetic version of the reference's run_system.py flow
 (SURVEY.md section 3.3): make_fragments -> register -> refine -> integrate,
 with ATE checked against the synthetic ground-truth trajectory."""
 
+import os
 import numpy as np
 import pytest
 
@@ -86,29 +87,68 @@ class TestShardedRunSystem:
     def test_run_system_mesh_matches_host(self, sequence, tmp_path):
         """run_system(mesh=...) routes stage 1 through the sharded fragment
         chain and must produce an equally accurate trajectory (round-2
-        verdict item #4: one code path, mesh-routed)."""
-        import jax
-        from open3d_tpu.parallel import pipeline as pp
+        verdict item #4: one code path, mesh-routed).
 
-        def make_cfg(sub):
-            # capacities kept small: this test compiles the largest program
-            # in the suite (8-device shard_map over the full fragment chain)
-            return rc.ReconstructionConfig(
-                fragment_size=4,
-                n_keyframes_per_n_frame=3,
-                depth_max=4.0,
-                voxel_size=0.02,
-                block_count=2048,
-                block_resolution=8,
-                trunc_voxel_multiplier=4.0,
-                downsample_voxel_size=0.05,
+        Runs in a SUBPROCESS: this compiles the largest XLA:CPU program in
+        the suite and the CPU compiler segfaults on it rarely but
+        reproducibly enough to kill whole-suite runs (observed twice in the
+        round-4 full run; conftest documents the same). Isolation turns a
+        compiler crash into a clean retry instead of taking pytest down."""
+        import subprocess
+        import sys
+        import textwrap
+
+        script = textwrap.dedent(
+            f"""
+            import os
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + " --xla_force_host_platform_device_count=8"
+                ).strip()
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_compilation_cache_dir", "/tmp/o3dtpu_jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            from open3d_tpu.data import dataset as ds
+            from open3d_tpu.pipelines import reconstruction as rc
+            from open3d_tpu.parallel import pipeline as pp
+            seq = ds.synthetic_rgbd_sequence(
+                n_frames=8, width=160, height=120, span=0.5,
+                out_dir={str(tmp_path / 'seq')!r},
+            )
+            cfg = rc.ReconstructionConfig(
+                fragment_size=4, n_keyframes_per_n_frame=3, depth_max=4.0,
+                voxel_size=0.02, block_count=2048, block_resolution=8,
+                trunc_voxel_multiplier=4.0, downsample_voxel_size=0.05,
                 registration_point_capacity=4096,
                 fragment_point_capacity=16384,
-                path_output=str(tmp_path / sub),
+                path_output={str(tmp_path / 'mesh')!r},
             )
-
-        mesh = pp.make_pipeline_mesh(8)
-        vbg_m, traj_m, _ = rc.run_system(sequence, make_cfg("mesh"), mesh=mesh)
-        ate_m = rc.absolute_trajectory_error(traj_m, sequence.gt_trajectory)
-        assert ate_m < 0.05, f"sharded ATE {ate_m}"
-        assert int(vbg_m.num_active_blocks()) > 50
+            mesh = pp.make_pipeline_mesh(8)
+            vbg_m, traj_m, _ = rc.run_system(seq, cfg, mesh=mesh)
+            ate_m = rc.absolute_trajectory_error(traj_m, seq.gt_trajectory)
+            assert ate_m < 0.05, f"sharded ATE {{ate_m}}"
+            assert int(vbg_m.num_active_blocks()) > 50
+            print("SHARDED_OK", ate_m)
+            """
+        )
+        env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+            [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+            + os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        ))
+        for attempt in range(2):
+            r = subprocess.run(
+                [sys.executable, "-c", script], env=env,
+                capture_output=True, text=True, timeout=540,
+            )
+            if r.returncode == 0:
+                assert "SHARDED_OK" in r.stdout
+                return
+            if r.returncode not in (-11, 139):  # real failure, not the flake
+                break
+        raise AssertionError(
+            f"sharded run_system subprocess rc={r.returncode}\n"
+            f"stdout:\n{r.stdout[-2000:]}\nstderr:\n{r.stderr[-2000:]}"
+        )

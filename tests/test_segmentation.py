@@ -113,3 +113,35 @@ def test_hidden_point_removal_sphere():
     zvis = v[vis][:, 2]
     assert (zvis > -0.2).mean() > 0.9  # mostly front-facing
     assert len(vis) < 450
+
+
+def test_detect_planar_patches_two_planes():
+    """(ref: PointCloud::DetectPlanarPatches,
+    geometry/PointCloudPlanarPatchDetection.cpp)"""
+    import numpy as np
+
+    from open3d_tpu.geometry.pointcloud import PointCloud
+    from open3d_tpu.ops import pointcloud as pc_ops
+    from open3d_tpu.ops import segmentation as seg
+
+    rng = np.random.default_rng(1)
+    g = np.linspace(0, 1, 24, dtype=np.float32)
+    xx, yy = np.meshgrid(g, g)
+    floor = np.stack([xx.ravel(), yy.ravel(), np.zeros(xx.size, np.float32)], -1)
+    wall = np.stack([xx.ravel(), np.zeros(xx.size, np.float32) - 0.2, yy.ravel() + 0.2], -1)
+    pts = np.concatenate([floor, wall]) + rng.normal(0, 0.002, (2 * xx.size, 3)).astype(np.float32)
+    pcd = PointCloud.create(jnp.asarray(pts))
+    pcd = pc_ops.estimate_normals(pcd, max_nn=12)
+    labels, obbs, n_patches = seg.detect_planar_patches(
+        pcd, distance_threshold=0.02, min_num_points=100, max_patches=8
+    )
+    labels = np.asarray(labels)
+    assert int(n_patches) == 2
+    # the two ground-truth planes map to two distinct labels
+    lf = labels[: xx.size]
+    lw = labels[xx.size:]
+    assert (lf >= 0).mean() > 0.9 and (lw >= 0).mean() > 0.9
+    assert np.median(lf) != np.median(lw)
+    # patch OBBs are thin along the plane normal
+    ext = np.asarray(obbs.extent)[:2]
+    assert np.all(ext[:, 2] < 0.05) and np.all(ext[:, :2] > 0.5)
