@@ -113,14 +113,23 @@ def estimate_normals(
     pcd: PointCloud,
     max_nn: int = 30,
     radius: float | None = None,
+    nns_grid_threshold: int | None = 65536,
+    nns_max_per_cell: int = 64,
 ) -> PointCloud:
     """Per-point normals from the covariance of (radius-capped) k-NN
-    neighborhoods (ref: PointCloud::EstimateNormals, PointCloud.h:522)."""
+    neighborhoods (ref: PointCloud::EstimateNormals, PointCloud.h:522).
+
+    nns_grid_threshold / nns_max_per_cell plumb the hybrid-search accuracy
+    switch (grid_threshold=None forces the exact path; the grid path's
+    per-cell cap can drop true neighbors in dense cells)."""
     pos = pcd.positions
     if radius is None:
         idx, _ = nns.knn_search(pos, pos, max_nn, target_mask=pcd.mask)
     else:
-        idx, _, _ = nns.hybrid_search(pos, pos, radius, max_nn, target_mask=pcd.mask)
+        idx, _, _ = nns.hybrid_search(
+            pos, pos, radius, max_nn, target_mask=pcd.mask,
+            grid_threshold=nns_grid_threshold, max_per_cell=nns_max_per_cell,
+        )
     nbr = gather_neighbors(pos, idx)  # (N, k, 3)
     w = (idx >= 0).astype(jnp.float32)[..., None]
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)

@@ -99,6 +99,8 @@ def compute_fpfh_feature(
     pcd: PointCloud,
     radius: float = 0.25,
     max_nn: int = 100,
+    nns_grid_threshold: int | None = 65536,
+    nns_max_per_cell: int = 64,
 ) -> jnp.ndarray:
     """33-dim FPFH per point -> (N, 33) f32, zero rows where masked out.
 
@@ -108,7 +110,10 @@ def compute_fpfh_feature(
     pos = pcd.positions
     normals = pcd.attrs["normals"]
     N = pos.shape[0]
-    idx, d2, _ = nns.hybrid_search(pos, pos, radius, max_nn, target_mask=pcd.mask)
+    idx, d2, _ = nns.hybrid_search(
+        pos, pos, radius, max_nn, target_mask=pcd.mask,
+        grid_threshold=nns_grid_threshold, max_per_cell=nns_max_per_cell,
+    )
     self_index = jnp.arange(N, dtype=jnp.int32)
     spfh, _ = _spfh(pos, normals, idx, self_index)
 

@@ -302,18 +302,26 @@ def _intensity(colors: jnp.ndarray) -> jnp.ndarray:
 _GRID_NNS_THRESHOLD = 32768
 
 
-def _make_corr_grid(tgt: PointCloud, dmax: float):
+def _make_corr_grid(tgt: PointCloud, dmax: float, nns_backend: str = "auto"):
     """Spatial-hash index over the target for radius-dmax correspondence
-    search, or None when brute force is the better kernel (small clouds)."""
-    if tgt.positions.shape[0] < _GRID_NNS_THRESHOLD:
+    search, or None when brute force is the better kernel.
+
+    nns_backend (advisor r2 #3 / VERDICT r4 item 8 — the accuracy switch is
+    caller-visible): "auto" = grid above _GRID_NNS_THRESHOLD points,
+    "exact" = always the exact O(N*M) MXU sweep, "grid" = always the hash
+    grid (whose max_per_cell cap can drop true neighbors in dense cells)."""
+    if nns_backend == "exact":
+        return None
+    if nns_backend == "auto" and tgt.positions.shape[0] < _GRID_NNS_THRESHOLD:
         return None
     return nns_grid.build_grid(tgt.positions, float(dmax), mask=tgt.mask)
 
 
-def _correspondences(src_pos, src_mask, tgt: PointCloud, dmax: float, grid=None):
+def _correspondences(src_pos, src_mask, tgt: PointCloud, dmax: float, grid=None,
+                     max_per_cell: int = 32):
     if grid is not None:
         idx, d2, _ = nns_grid.query_grid(
-            grid, src_pos, dmax, 1, max_per_cell=32
+            grid, src_pos, dmax, 1, max_per_cell=max_per_cell
         )
         idx, d2 = idx[:, 0], d2[:, 0]
         valid = src_mask & (idx >= 0)
@@ -378,9 +386,16 @@ def icp(
     init: Optional[jnp.ndarray] = None,
     estimation=None,
     criteria: ICPConvergenceCriteria = ICPConvergenceCriteria(),
+    nns_backend: str = "auto",
+    nns_max_per_cell: int = 32,
 ) -> RegistrationResult:
     """Single-scale ICP (ref: ICP, Registration.h:134 / DoSingleScaleICPIterations
-    Registration.cpp:257). Runs entirely on device in one lax.while_loop."""
+    Registration.cpp:257). Runs entirely on device in one lax.while_loop.
+
+    nns_backend/nns_max_per_cell: correspondence-search accuracy knobs —
+    "exact" forces the exact 1-NN sweep regardless of cloud size; the grid
+    path caps candidates per cell (dense cells can drop true neighbors).
+    """
     estimation = estimation or TransformationEstimationPointToPlane()
     T0 = jnp.eye(4, dtype=jnp.float32) if init is None else init.astype(jnp.float32)
 
@@ -388,7 +403,7 @@ def icp(
     src_mask = source.mask
     src_attrs = source.attrs
     # target is loop-invariant: build the hash grid ONCE outside the loop
-    grid = _make_corr_grid(target, max_correspondence_distance)
+    grid = _make_corr_grid(target, max_correspondence_distance, nns_backend)
 
     def cond(carry):
         T, fitness, rmse, prev_f, prev_r, it, converged = carry
@@ -399,7 +414,8 @@ def icp(
         pos = lie.transform_points(T, src_pos0)
         pos = jnp.where(src_mask[:, None], pos, src_pos0)
         idx, d2, valid = _correspondences(
-            pos, src_mask, target, max_correspondence_distance, grid
+            pos, src_mask, target, max_correspondence_distance, grid,
+            max_per_cell=nns_max_per_cell,
         )
         new_f, new_r = _fitness_rmse(src_mask, d2, valid)
         update = estimation.compute(pos, src_attrs, target, idx, valid, T)
@@ -422,7 +438,8 @@ def icp(
     # final metrics at the final pose
     pos = lie.transform_points(T, src_pos0)
     _, d2, valid = _correspondences(
-        pos, src_mask, target, max_correspondence_distance, grid
+        pos, src_mask, target, max_correspondence_distance, grid,
+        max_per_cell=nns_max_per_cell,
     )
     fitness, rmse = _fitness_rmse(src_mask, d2, valid)
     return RegistrationResult(transformation=T, fitness=fitness, inlier_rmse=rmse, num_iterations=it)
@@ -436,11 +453,14 @@ def multi_scale_icp(
     max_correspondence_distances: Sequence[float],
     init: Optional[jnp.ndarray] = None,
     estimation=None,
+    nns_backend: str = "auto",
+    nns_max_per_cell: int = 32,
 ) -> RegistrationResult:
     """Coarse-to-fine ICP (ref: MultiScaleICP, Registration.h:171/cpp:344).
 
     Per scale: voxel-downsample both clouds, then run the on-device ICP loop.
     voxel_size <= 0 means "use the full cloud" (reference convention).
+    nns_backend / nns_max_per_cell: see `icp`.
     """
     assert len(voxel_sizes) == len(criteria_list) == len(max_correspondence_distances)
     estimation = estimation or TransformationEstimationPointToPlane()
@@ -458,6 +478,7 @@ def multi_scale_icp(
             "color_gradients" not in tgt.attrs
         ):
             tgt = pc_ops.estimate_color_gradients(tgt, max_nn=30, radius=3.0 * max(vs, 1e-3))
-        result = icp(src, tgt, dmax, T, estimation, crit)
+        result = icp(src, tgt, dmax, T, estimation, crit,
+                     nns_backend=nns_backend, nns_max_per_cell=nns_max_per_cell)
         T = result.transformation
     return result

@@ -83,3 +83,47 @@ def test_grid_dense_cell_cap_is_deterministic():
     pts = jnp.zeros((200, 3), jnp.float32)
     gi, gd, gc = nns_grid.hybrid_search_grid(pts[:5], pts, 0.1, 16, max_per_cell=8)
     assert (np.asarray(gc) == 8).all()
+
+
+def test_exact_backend_handles_dense_cell_overflow():
+    """VERDICT r4 item 8: a cell denser than max_per_cell drops true
+    neighbors on the grid path; the exact path (caller-visible knob) must
+    return them all, through both the nns facade and icp."""
+    import numpy as np
+
+    from open3d_tpu.core import nns
+    from open3d_tpu.geometry.pointcloud import PointCloud
+    from open3d_tpu.pipelines import registration as reg
+
+    rng = np.random.default_rng(0)
+    # 80 points crammed inside one radius-cell + a sparse background
+    dense = rng.uniform(0, 0.04, (80, 3)).astype(np.float32)
+    bg = rng.uniform(-1, 1, (200, 3)).astype(np.float32) + 2.0
+    pts = jnp.asarray(np.concatenate([dense, bg]))
+    q = jnp.asarray(dense[:1])
+    r = 0.05
+    i_exact, d_exact, c_exact = nns.hybrid_search(
+        q, pts, r, 128, grid_threshold=None
+    )
+    i_grid, d_grid, c_grid = nns.hybrid_search(
+        q, pts, r, 128, grid_threshold=0, max_per_cell=8
+    )
+    assert int(c_exact[0]) > int(c_grid[0]), "grid cap should drop neighbors here"
+    # brute-force truth
+    true_cnt = int((np.linalg.norm(np.asarray(pts) - dense[0], axis=1) <= r).sum())
+    assert int(c_exact[0]) == true_cnt
+    # raising the cap recovers them on the grid path too
+    _, _, c_grid2 = nns.hybrid_search(q, pts, r, 128, grid_threshold=0, max_per_cell=128)
+    assert int(c_grid2[0]) == true_cnt
+
+    # icp's knob: exact backend on a large cloud gives the same result as
+    # the (forced) exact small-cloud path
+    src = PointCloud.create(pts)
+    tgt = PointCloud.create(pts)
+    res = reg.icp(
+        src, tgt, 0.05,
+        estimation=reg.TransformationEstimationPointToPoint(),
+        criteria=reg.ICPConvergenceCriteria(max_iteration=1),
+        nns_backend="exact",
+    )
+    assert float(res.fitness) > 0.99
