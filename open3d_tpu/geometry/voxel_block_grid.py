@@ -318,7 +318,9 @@ def integrate(
         from open3d_tpu.ops.pallas import integrate as pint
 
         coords = hm.unpack_coords(block_keys)
-        v0, u0, fit = pint.block_slab_fit(coords, intrinsic, extrinsic, vbg.voxel_size)
+        v0, u0, shift, fit = pint.block_slab_fit(
+            coords, intrinsic, extrinsic, vbg.voxel_size
+        )
         planes = pint.prepare_planes(depth, color, vbg.has_color)
         tw, color_arr = pint.integrate_blocks(
             vbg.tw,
@@ -327,6 +329,7 @@ def integrate(
             coords,
             v0,
             u0,
+            shift,
             fit,
             planes,
             intrinsic,

@@ -12,15 +12,21 @@ op-count-bound, not flop-bound). Round-4 shape of the kernel:
 
 - The frame is packed once into a bf16 plane stack [d_hi | d_lo | r | g
   | b] (depth split into two bf16 words, exact to ~17 bits; 8-bit colors
-  are bf16-exact). Per touched block one (128, 256)-pixel slab per plane
-  is DMA'd HBM->VMEM (bf16: half the bytes of round-3's f32 slabs).
-- The 4096 voxels are processed in 4 chunks of 1024 samples. Per chunk:
-  ONE one-hot bf16 matmul (1024, 128) @ (128, 5*256) row-selects all five
-  planes at once, then 2 lane dynamic_gathers per plane pick the column.
-- The (1024, 1)-per-sample results return to the (32, 128) block-row
+  are bf16-exact) — TWICE: the original and a 64-lane-shifted copy. A
+  block picks whichever copy 128-aligns its footprint, so the per-block
+  slab is a (128, 128)-pixel window per plane (round-3 used (128, 256):
+  lane tiling forces 128-aligned window origins, and a narrow footprint
+  can straddle a 128 boundary — the shifted copy removes the straddle for
+  every footprint <= 64 px wide, i.e. blocks beyond ~0.75 m at TUM
+  intrinsics; nearer blocks fall back like before). Half the matmul
+  flops, half the lane-gathers, quarter the DMA bytes of round-3.
+- The 4096 voxels are processed in 2 chunks of 2048 samples. Per chunk:
+  ONE one-hot bf16 matmul (2048, 128) @ (128, 5*128) row-selects all five
+  planes at once, then ONE lane dynamic_gather per plane picks the column.
+- The (2048, 1)-per-sample results return to the (32, 128) block-row
   layout with ONE batched relayout matmul per chunk: each f32 quantity is
   split into exact bf16 hi+lo words, the 9 columns (t_hi, t_lo, w, r/g/b
-  hi+lo) are concatenated on lanes, and a static (8, 1024) 0/1 matrix
+  hi+lo) are concatenated on lanes, and a static (16, 2048) 0/1 matrix
   performs the permutation (every output element is a single 1*x product,
   so bf16 passes are exact; hi+lo re-sum restores ~17 f32 bits).
 - Grid steps whose block is invalid (dump row) or does not fit the slab
@@ -28,8 +34,8 @@ op-count-bound, not flop-bound). Round-4 shape of the kernel:
   frame_block_capacity 2048 with ~600 really-touched blocks this skips
   ~70% of the grid.
 
-Blocks whose projected footprint exceeds the (128, 256) window (closer
-than ~0.4 m at TUM intrinsics) are integrated by the XLA fallback path in
+Blocks whose projected footprint exceeds the (128, 128) window in either
+plane copy are integrated by the XLA fallback path in
 voxel_block_grid.integrate; their count is surfaced as a stat.
 """
 
@@ -47,8 +53,9 @@ _TSDF_SCALE = 16383.0
 _B = 16
 _B3 = _B * _B * _B
 _SLAB_H = 128  # slab rows (v extent); multiple of the bf16 sublane tile 16
-_SLAB_W = 256  # slab cols (u extent), 128-aligned
-_CHUNK = 1024  # samples per matmul chunk (4 chunks cover the 16^3 block)
+_SLAB_W = 128  # slab cols (u extent); one 128-lane group
+_SHIFT = 64  # lane shift of the second plane copy
+_CHUNK = 2048  # samples per matmul chunk (2 chunks cover the 16^3 block)
 
 
 def _integrate_kernel(
@@ -58,11 +65,12 @@ def _integrate_kernel(
     by_ref,
     bz_ref,
     v0_ref,  # (M,) i32 slab origin (16-aligned)
-    u0_ref,  # (M,) i32 slab origin (128-aligned)
+    u0_ref,  # (M,) i32 slab origin IN ITS COPY's columns (128-aligned)
+    shift_ref,  # (M,) i32 0 = original copy, 1 = 64-lane-shifted copy
     fit_ref,  # (M,) i32 1 = slab covers the footprint
     # inputs
     params_ref,  # (1, 128) f32
-    planes_hbm,  # (5 * Hp, Wp) bf16 [d_hi | d_lo | r | g | b] row-stacked
+    planes_hbm,  # (2 * 5 * Hp, Wp) bf16 [orig | shifted] row-stacked
     tw_in,  # (1, 32, 128) i32 aliased block row
     col_in,  # (1, 32, 128) i32 aliased block row
     # outputs
@@ -79,7 +87,7 @@ def _integrate_kernel(
     *,
     H: int,
     W: int,
-    Hp: int,  # padded plane row stride (planes image is (5*Hp, Wp))
+    Hp: int,  # padded plane row stride (each copy is (5*Hp, Wp))
     C: int,  # payload dump row (capacity)
     fx: float,
     fy: float,
@@ -99,16 +107,19 @@ def _integrate_kernel(
 
     @pl.when(work)
     def _do_block():
-        # v0 is built 16-aligned and Hp is a multiple of 16 (block_slab_fit
-        # / prepare_planes), but Mosaic cannot prove it through the scalar
-        # load — assert the alignment so the tiled bf16 memref slice is
-        # legal (round-3's on-TPU compile failure).
+        # v0 is built 16-aligned, u0 128-aligned (in its copy), and Hp is a
+        # multiple of 16 (block_slab_fit / prepare_planes), but Mosaic
+        # cannot prove it through the scalar load — assert the alignment so
+        # the tiled bf16 memref slice is legal (round-3's on-TPU failure).
         v0 = pl.multiple_of(v0_ref[i], 16)
         u0 = pl.multiple_of(u0_ref[i], 128)
+        copy_off = shift_ref[i] * (5 * Hp)
         for p in range(n_planes):
             pltpu.make_async_copy(
-                planes_hbm.at[pl.ds(pl.multiple_of(p * Hp + v0, 16), _SLAB_H),
-                              pl.ds(u0, _SLAB_W)],
+                planes_hbm.at[
+                    pl.ds(pl.multiple_of(copy_off + p * Hp + v0, 16), _SLAB_H),
+                    pl.ds(u0, _SLAB_W),
+                ],
                 slab.at[:, pl.ds(p * _SLAB_W, _SLAB_W)],
                 sem.at[p],
             ).start()
@@ -120,34 +131,34 @@ def _integrate_kernel(
         bxf = bx_ref[i].astype(jnp.float32) * (voxel_size * _B)
         byf = by_ref[i].astype(jnp.float32) * (voxel_size * _B)
         bzf = bz_ref[i].astype(jnp.float32) * (voxel_size * _B)
-        u0f = u0.astype(jnp.float32)
-        v0f = v0.astype(jnp.float32)
-        del u0f, v0f  # origins used in integer space below
+        # window origin in ORIGINAL image columns
+        u0_img = u0_ref[i] + shift_ref[i] * _SHIFT
 
         for p in range(n_planes):
             pltpu.make_async_copy(
-                planes_hbm.at[pl.ds(pl.multiple_of(p * Hp + v0, 16), _SLAB_H),
-                              pl.ds(u0, _SLAB_W)],
+                planes_hbm.at[
+                    pl.ds(pl.multiple_of(copy_off + p * Hp + v0, 16), _SLAB_H),
+                    pl.ds(u0, _SLAB_W),
+                ],
                 slab.at[:, pl.ds(p * _SLAB_W, _SLAB_W)],
                 sem.at[p],
             ).wait()
 
-        slab_all = slab[:]  # (128, 5*256) bf16
-        n_q = 9 if with_color else 3  # relayout columns (hi/lo + w)
+        slab_all = slab[:]  # (128, 5*128) bf16
 
-        # static relayout masks, shared by all chunks:
-        #   L[s, l] = (s % 128 == l)   (CHUNK, 128) — value spread mask
-        #   A[r, s] = (s // 128 == r)  (8, CHUNK)   — permutation matrix
+        # static relayout masks, shared by both chunks:
+        #   L[s, l] = (s % 128 == l)    (CHUNK, 128) — value spread mask
+        #   A[r, s] = (s // 128 == r)   (16, CHUNK)  — permutation matrix
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 128), 0)
         l_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 128), 1)
         # bf16 0/1 mask (multiplication, not jnp.where: Mosaic rejects a
         # where() whose value operands are both lane-replicated)
         L = ((s_iota & 127) == l_iota).astype(jnp.bfloat16)
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (8, _CHUNK), 0)
-        s2_iota = jax.lax.broadcasted_iota(jnp.int32, (8, _CHUNK), 1)
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (16, _CHUNK), 0)
+        s2_iota = jax.lax.broadcasted_iota(jnp.int32, (16, _CHUNK), 1)
         A = ((s2_iota >> 7) == r_iota).astype(jnp.bfloat16)
 
-        for k in range(_B3 // _CHUNK):  # 4 chunks of 1024 voxels
+        for k in range(_B3 // _CHUNK):  # 2 chunks of 2048 voxels
             f = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0) + (
                 k * _CHUNK
             )  # flat voxel id: x + 16 y + 256 z
@@ -167,7 +178,7 @@ def _integrate_kernel(
             vf = pcy / zc * fy + cy
             ui = jnp.round(uf).astype(jnp.int32)
             vi = jnp.round(vf).astype(jnp.int32)
-            su = ui - u0_ref[i]
+            su = ui - u0_img
             sv = vi - v0_ref[i]
             inb = (
                 (pcz > 1e-4)
@@ -185,22 +196,15 @@ def _integrate_kernel(
             rows_sel = jax.lax.dot_general(
                 oh, slab_all, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (CHUNK, n_lanes) f32 — bf16 values pass through exactly
+            )  # (CHUNK, 5*128) f32 — bf16 values pass through exactly
 
-            lane = suc & 127
-            grp = suc >> 7
-            lane_b = jnp.broadcast_to(lane, (_CHUNK, 128))
+            lane_b = jnp.broadcast_to(suc, (_CHUNK, 128))
 
             def sample_plane(p):
-                v_g0 = jnp.take_along_axis(
-                    rows_sel[:, p * _SLAB_W : p * _SLAB_W + 128], lane_b,
+                return jnp.take_along_axis(
+                    rows_sel[:, p * _SLAB_W : (p + 1) * _SLAB_W], lane_b,
                     axis=1,
                 )[:, :1]
-                v_g1 = jnp.take_along_axis(
-                    rows_sel[:, p * _SLAB_W + 128 : (p + 1) * _SLAB_W],
-                    lane_b, axis=1,
-                )[:, :1]
-                return jnp.where(grp == 0, v_g0, v_g1)
 
             d = sample_plane(0) + sample_plane(1)  # ~17-bit depth
             d_ok = inb & (d > 0) & (d < depth_max)
@@ -210,7 +214,7 @@ def _integrate_kernel(
             wn = keep.astype(jnp.float32)
 
             # batched exact relayout: (CHUNK, 1) x {t, w, r, g, b} ->
-            # (8, 128) rows of the block layout in ONE bf16 matmul.
+            # (16, 128) rows of the block layout in ONE bf16 matmul.
             quantities = [jnp.where(keep, tsdf_new, 0.0), wn]
             if with_color:
                 quantities += [
@@ -228,14 +232,14 @@ def _integrate_kernel(
             out = jax.lax.dot_general(
                 A, V, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (8, n_q * 128): single 1*x product per element — exact
-            rows8 = pl.ds(8 * k, 8)
-            new_t[rows8, :] = out[:, 0:128] + out[:, 128:256]
-            new_w[rows8, :] = out[:, 256:384]
+            )  # (16, n_q * 128): single 1*x product per element — exact
+            rows16 = pl.ds(16 * k, 16)
+            new_t[rows16, :] = out[:, 0:128] + out[:, 128:256]
+            new_w[rows16, :] = out[:, 256:384]
             if with_color:
-                new_r[rows8, :] = out[:, 384:512] + out[:, 512:640]
-                new_g[rows8, :] = out[:, 640:768] + out[:, 768:896]
-                new_b[rows8, :] = out[:, 896:1024] + out[:, 1024:1152]
+                new_r[rows16, :] = out[:, 384:512] + out[:, 512:640]
+                new_g[rows16, :] = out[:, 640:768] + out[:, 768:896]
+                new_b[rows16, :] = out[:, 896:1024] + out[:, 1024:1152]
 
         # ---- fuse against the old payload row (in place) ----
         old = tw_in[0]
@@ -272,13 +276,14 @@ def _integrate_kernel(
 
 
 def prepare_planes(depth: jnp.ndarray, color, with_color: bool):
-    """Stack [d_hi | d_lo | r | g | b] along rows as one (5*Hp, Wp) BF16
-    image, padded so the (SLAB_H, SLAB_W) DMA window always fits (padding
-    reads as depth 0 = invalid). d_hi + d_lo restore ~17 bits of the f32
-    depth; 8-bit colors are bf16-exact."""
+    """Stack [d_hi | d_lo | r | g | b] along rows as one (2*5*Hp, Wp) BF16
+    image: the original copy and a 64-lane-left-shifted copy (see module
+    docstring), padded so a (SLAB_H, SLAB_W) DMA window always fits
+    (padding reads as depth 0 = invalid). d_hi + d_lo restore ~17 bits of
+    the f32 depth; 8-bit colors are bf16-exact."""
     H, W = depth.shape
     Hp = max(-(-H // 16) * 16, _SLAB_H)
-    Wp = max(-(-W // 128) * 128, _SLAB_W)
+    Wp = max(-(-W // 128) * 128, 2 * _SLAB_W)
     d_hi_b = depth.astype(jnp.bfloat16)
     d_hi = d_hi_b.astype(jnp.float32)
     d_lo = depth - d_hi
@@ -289,17 +294,21 @@ def prepare_planes(depth: jnp.ndarray, color, with_color: bool):
         planes = [d_hi, d_lo, z, z, z]
     stack = jnp.stack(planes, axis=0).astype(jnp.bfloat16)  # (5, H, W)
     stack = jnp.pad(stack, ((0, 0), (0, Hp - H), (0, Wp - W)))
-    return stack.reshape(5 * Hp, Wp)
+    shifted = jnp.pad(stack[:, :, _SHIFT:], ((0, 0), (0, 0), (0, _SHIFT)))
+    both = jnp.concatenate([stack, shifted], axis=0)  # (10, Hp, Wp)
+    return both.reshape(2 * 5 * Hp, Wp)
 
 
 def block_slab_fit(coords, intrinsic, extrinsic, voxel_size, hp=None, wp=None):
-    """Per-block slab origin + fit flag (XLA prep).
+    """Per-block slab origin + plane-copy pick + fit flag (XLA prep).
 
-    coords (M, 3) int32 block coords. Returns (v0, u0, fit) int32 arrays.
-    fit==0 for blocks whose projected rect exceeds the (128, 256) window or
-    that straddle the camera plane (handled by the caller's fallback).
-    hp/wp: padded plane dims (window clamp bounds); default = padded
-    intrinsic dims."""
+    coords (M, 3) int32 block coords. Returns (v0, u0, shift, fit) int32
+    arrays: v0 16-aligned window top, u0 128-aligned window left IN THE
+    CHOSEN COPY's columns, shift in {0, 1} picking the original or the
+    64-lane-shifted plane copy. fit==0 for blocks whose projected rect
+    exceeds the (128, 128) window in both copies or that straddle the
+    camera plane (handled by the caller's fallback). hp/wp: padded plane
+    dims (window clamp bounds); default = padded intrinsic dims."""
     bs = voxel_size * _B
     corners = jnp.asarray(
         [[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], jnp.float32
@@ -321,18 +330,30 @@ def block_slab_fit(coords, intrinsic, extrinsic, voxel_size, hp=None, wp=None):
     if hp is None:
         hp = max(-(-H // 16) * 16, _SLAB_H)
     if wp is None:
-        wp = max(-(-W // 128) * 128, _SLAB_W)
-    # align origins down to the bf16 tile (16 sublanes / 128 lanes); clamp
-    # so the window stays inside the padded image
+        wp = max(-(-W // 128) * 128, 2 * _SLAB_W)
+    # vertical: align down to the bf16 tile; clamp inside the padded image
     v0 = jnp.clip((v_min // 16) * 16, 0, hp - _SLAB_H)
-    u0 = jnp.clip((u_min // 128) * 128, 0, wp - _SLAB_W)
-    fit = front & (u_max - u0 < _SLAB_W) & (v_max - v0 < _SLAB_H) & (
+    fit_v = v_max - v0 < _SLAB_H
+    # horizontal: try the original copy (128-aligned origins), then the
+    # 64-shifted copy (origins at 64 + 128k in image columns)
+    uA = jnp.clip((u_min // 128) * 128, 0, wp - _SLAB_W)
+    fit_A = u_max - uA < _SLAB_W
+    uB_img = jnp.clip(
+        ((u_min - _SHIFT) // 128) * 128 + _SHIFT, _SHIFT, wp - _SLAB_W
+    )
+    # the window must start at/left of the first on-screen footprint column
+    # (clamping can push it right past u_min, leaving real pixels uncovered)
+    fit_B = (u_max - uB_img < _SLAB_W) & (uB_img <= jnp.maximum(u_min, 0))
+    use_B = ~fit_A & fit_B
+    u0 = jnp.where(use_B, uB_img - _SHIFT, uA)  # columns in the chosen copy
+    shift = use_B.astype(jnp.int32)
+    fit = front & fit_v & (fit_A | fit_B) & (
         u_max >= 0
     ) & (v_max >= 0) & (u_min < W) & (v_min < H)
     # fully-offscreen blocks: mark fit (they produce zero weight anyway)
     off = front & ((u_max < 0) | (u_min >= W) | (v_max < 0) | (v_min >= H))
     fit = fit | off
-    return v0, u0, fit.astype(jnp.int32)
+    return v0, u0, shift, fit.astype(jnp.int32)
 
 
 def integrate_blocks(
@@ -342,8 +363,9 @@ def integrate_blocks(
     coords,  # (M, 3) i32 block coords
     v0,
     u0,
+    shift,
     fit,  # (M,) i32 from block_slab_fit
-    planes,  # (5*Hp, Wp) bf16 from prepare_planes
+    planes,  # (2*5*Hp, Wp) bf16 from prepare_planes
     intrinsic,
     extrinsic,
     voxel_size: float,
@@ -376,7 +398,7 @@ def integrate_blocks(
         else jnp.zeros((C1, 32, 128), jnp.int32)
     )
 
-    Hp = planes.shape[0] // 5
+    Hp = planes.shape[0] // 10
     kern = functools.partial(
         _integrate_kernel,
         H=H,
@@ -398,7 +420,7 @@ def integrate_blocks(
         return (slots_s[i], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(M,),
         in_specs=[
             pl.BlockSpec((1, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
@@ -427,7 +449,7 @@ def integrate_blocks(
             jax.ShapeDtypeStruct(tw3.shape, tw3.dtype),
             jax.ShapeDtypeStruct(col3.shape, col3.dtype),
         ),
-        input_output_aliases={9: 0, 10: 1},
+        input_output_aliases={10: 0, 11: 1},
         interpret=interpret,
     )(
         slots.astype(jnp.int32),
@@ -436,6 +458,7 @@ def integrate_blocks(
         coords[:, 2],
         v0,
         u0,
+        shift,
         fit,
         params,
         planes,

@@ -39,9 +39,9 @@ vbg = dataclasses.replace(vbg, table=table)
 rows = jnp.where(ok, slot, vbg.capacity)
 coords = hm.unpack_coords(keys)
 
-v0, u0, fit = jax.block_until_ready(
+v0, u0, shift, fit = jax.block_until_ready(
     jax.jit(lambda c, e: pint.block_slab_fit(c, intr, e, vbg.voxel_size))(coords, extr[0]))
-print("fit:", int(jnp.sum(fit)), "of", FBC, flush=True)
+print("fit:", int(jnp.sum(fit)), "of", FBC, "shifted:", int(jnp.sum(shift)), flush=True)
 planes = jax.block_until_ready(
     jax.jit(lambda d, c: pint.prepare_planes(d, c, True))(depths[0], colors[0]))
 
@@ -50,16 +50,16 @@ timeit("prepare_planes", jax.jit(lambda d, c: pint.prepare_planes(d, c, True)),
 timeit("block_slab_fit", jax.jit(lambda c, e: pint.block_slab_fit(c, intr, e, vbg.voxel_size)),
        coords, extr[0])
 
-kernel = jax.jit(lambda tw, col, r, c, v0_, u0_, f_, p, e: pint.integrate_blocks(
-    tw, col, r, c, v0_, u0_, f_, p, intr, e, vbg.voxel_size, vbg.sdf_trunc, 3.0))
+kernel = jax.jit(lambda tw, col, r, c, v0_, u0_, s_, f_, p, e: pint.integrate_blocks(
+    tw, col, r, c, v0_, u0_, s_, f_, p, intr, e, vbg.voxel_size, vbg.sdf_trunc, 3.0))
 timeit("pallas kernel (M=%d)" % FBC, kernel, vbg.tw, vbg.color, rows, coords,
-       v0, u0, fit, planes, extr[0])
+       v0, u0, shift, fit, planes, extr[0])
 
 # no-color variant
-kernel_nc = jax.jit(lambda tw, r, c, v0_, u0_, f_, p, e: pint.integrate_blocks(
-    tw, jnp.zeros((vbg.capacity + 1, 0), jnp.int32), r, c, v0_, u0_, f_, p, intr, e,
+kernel_nc = jax.jit(lambda tw, r, c, v0_, u0_, s_, f_, p, e: pint.integrate_blocks(
+    tw, jnp.zeros((vbg.capacity + 1, 0), jnp.int32), r, c, v0_, u0_, s_, f_, p, intr, e,
     vbg.voxel_size, vbg.sdf_trunc, 3.0))
-timeit("pallas kernel no-color", kernel_nc, vbg.tw, rows, coords, v0, u0, fit,
+timeit("pallas kernel no-color", kernel_nc, vbg.tw, rows, coords, v0, u0, shift, fit,
        planes, extr[0])
 
 integ = partial(jax.jit, donate_argnums=(0,))(

@@ -47,12 +47,12 @@ nrm = jax.jit(im.create_normal_map)(vtx)
 ld = odom._LevelData(vtx, None, vtx, nrm, None, intr)
 g1 = jax.jit(lambda v, n: odom._gn_level(
     odom._LevelData(v, None, v, n, None, intr),
-    jnp.eye(4, jnp.float32), odom.POINT_TO_PLANE,
+    jnp.eye(4, dtype=jnp.float32), odom.POINT_TO_PLANE,
     odom.OdometryConvergenceCriteria(3), odom.OdometryLossParams()))
 timeit("GN level0 (3 iters, 640x480)", g1, vtx, nrm)
 
 # a single row evaluation (1 gather set)
 rows1 = jax.jit(lambda v, n: odom._rows_point_to_plane(
     odom._LevelData(v, None, v, n, None, intr),
-    jnp.eye(4, jnp.float32), odom.OdometryLossParams())[1])
+    jnp.eye(4, dtype=jnp.float32), odom.OdometryLossParams())[1])
 timeit("rows pt2plane (1 eval)", rows1, vtx, nrm)
