@@ -214,12 +214,20 @@ def bilinear_sample(img, uv, valid_fill=0.0):
 
 
 def bilinear_sample_with_grad(img, uv):
-    """Sample an (H, W) image bilinearly and return (value, d/du, d/dv) — the
-    EXACT partial derivatives of the bilinear interpolant. Gauss-Newton on a
-    bilinear residual needs this consistency: with a smoothed (Sobel-map)
-    gradient the fixed point of J^T W r = 0 is displaced from the true cost
-    minimum. Out-of-bounds samples return 0 everywhere."""
+    """Sample an (H, W) or (H, W, C) image bilinearly and return
+    (value, d/du, d/dv) — the EXACT partial derivatives of the bilinear
+    interpolant. Gauss-Newton on a bilinear residual needs this
+    consistency: with a smoothed (Sobel-map) gradient the fixed point of
+    J^T W r = 0 is displaced from the true cost minimum. Out-of-bounds
+    samples return 0 everywhere.
+
+    Multi-channel inputs share one set of corner gathers — pack the images
+    a warp needs (e.g. depth + intensity) into the channel axis: gathers
+    use FLAT linearized row indices, which lower ~9x faster than 2-D
+    gathers on TPU, and C channels ride the same 4 row gathers."""
     H, W = img.shape[0], img.shape[1]
+    multi = img.ndim == 3
+    flat = img.reshape(H * W, -1) if multi else img.reshape(H * W)
     u = uv[..., 0]
     v = uv[..., 1]
     u0 = jnp.floor(u)
@@ -230,16 +238,22 @@ def bilinear_sample_with_grad(img, uv):
     v0i = v0.astype(jnp.int32)
 
     def gather(vi, ui):
-        return img[jnp.clip(vi, 0, H - 1), jnp.clip(ui, 0, W - 1)]
+        lin = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
+        return flat[lin]
 
     g00 = gather(v0i, u0i)
     g01 = gather(v0i, u0i + 1)
     g10 = gather(v0i + 1, u0i)
     g11 = gather(v0i + 1, u0i + 1)
+    if multi:
+        du = du[..., None]
+        dv = dv[..., None]
     val = (g00 * (1 - du) + g01 * du) * (1 - dv) + (g10 * (1 - du) + g11 * du) * dv
     gu = (g01 - g00) * (1 - dv) + (g11 - g10) * dv
     gv = (g10 - g00) * (1 - du) + (g11 - g01) * du
     inb = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+    if multi:
+        inb = inb[..., None]
     z = jnp.zeros_like(val)
     return jnp.where(inb, val, z), jnp.where(inb, gu, z), jnp.where(inb, gv, z)
 

@@ -1,6 +1,7 @@
-"""Odometry cost split on TPU: pyramids vs per-level GN vs gathers."""
+"""Odometry cost split on TPU. CHAINED timing: the axon tunnel coalesces
+repeated identical-input programs (reads ~0 ms), so every timed call feeds
+its output back as the next call's input."""
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -14,45 +15,77 @@ from open3d_tpu.pipelines import odometry as odom
 intr = PinholeCameraIntrinsic(640, 480, 525.0, 525.0, 319.5, 239.5)
 depths, colors, extr, _ = synthetic.render_sequence(2, intrinsic=intr, span=0.05)
 jax.block_until_ready(depths)
-src = RGBDImage(color=colors[0], depth=depths[0])
-tgt = RGBDImage(color=colors[1], depth=depths[1])
 
 
-def timeit(name, f, *a, n=10):
-    out = jax.block_until_ready(f(*a))
+def chain_time(name, f, x0, n=10):
+    """f: x -> x (same pytree shape). Chained => really sequential."""
+    x = jax.block_until_ready(f(x0))
     t0 = time.perf_counter()
     for _ in range(n):
-        out = f(*a)
-    jax.block_until_ready(out)
+        x = f(x)
+    jax.block_until_ready(x)
     print(f"{name}: {(time.perf_counter()-t0)/n*1000:.2f} ms", flush=True)
-    return out
+    return x
 
 
-full = jax.jit(lambda s, t: odom.rgbd_odometry_multi_scale(
-    s, t, intr, method=odom.POINT_TO_PLANE).transformation)
-timeit("odometry pt2plane full", full, src, tgt)
+d0, d1 = depths[0], depths[1]
+c0, c1 = colors[0], colors[1]
 
-hyb = jax.jit(lambda s, t: odom.rgbd_odometry_multi_scale(
-    s, t, intr, method=odom.HYBRID).transformation)
-timeit("odometry hybrid full", hyb, src, tgt)
+# full odometry: chain via an epsilon depth perturbation derived from the
+# result (keeps inputs fresh without changing the problem)
+def mk_full(method):
+    @jax.jit
+    def f(d):
+        T = odom.rgbd_odometry_multi_scale(
+            RGBDImage(color=c0, depth=d), RGBDImage(color=c1, depth=d1),
+            intr, method=method,
+        ).transformation
+        return d + T[0, 0] * 0.0  # data dependency, numerically d
+    return f
 
-timeit("depth pyramid", jax.jit(lambda d: im.build_depth_pyramid(d, 3)), depths[0])
-timeit("bilateral", jax.jit(im.filter_bilateral_depth), depths[0])
-vtx = jax.jit(lambda d: im.create_vertex_map(d, intr))(depths[0])
-timeit("vertex map", jax.jit(lambda d: im.create_vertex_map(d, intr)), depths[0])
-timeit("normal map", jax.jit(im.create_normal_map), vtx)
+chain_time("odometry pt2plane full", mk_full(odom.POINT_TO_PLANE), d0)
+chain_time("odometry hybrid full", mk_full(odom.HYBRID), d0)
 
-# one full-res GN level alone (3 iters)
+
+@jax.jit
+def pyr_f(d):
+    p = im.build_depth_pyramid(d, 3)
+    return d + p[2][0, 0] * 0.0
+
+chain_time("depth pyramid(3)", pyr_f, d0)
+
+
+@jax.jit
+def bil_f(d):
+    return d + im.filter_bilateral_depth(d)[0, 0] * 0.0
+
+chain_time("bilateral 640x480", bil_f, d0)
+
+vtx = jax.jit(lambda d: im.create_vertex_map(d, intr))(d1)
 nrm = jax.jit(im.create_normal_map)(vtx)
-ld = odom._LevelData(vtx, None, vtx, nrm, None, intr)
-g1 = jax.jit(lambda v, n: odom._gn_level(
-    odom._LevelData(v, None, v, n, None, intr),
-    jnp.eye(4, dtype=jnp.float32), odom.POINT_TO_PLANE,
-    odom.OdometryConvergenceCriteria(3), odom.OdometryLossParams()))
-timeit("GN level0 (3 iters, 640x480)", g1, vtx, nrm)
+jax.block_until_ready((vtx, nrm))
 
-# a single row evaluation (1 gather set)
-rows1 = jax.jit(lambda v, n: odom._rows_point_to_plane(
-    odom._LevelData(v, None, v, n, None, intr),
-    jnp.eye(4, dtype=jnp.float32), odom.OdometryLossParams())[1])
-timeit("rows pt2plane (1 eval)", rows1, vtx, nrm)
+
+@jax.jit
+def gn_f(d):
+    v = im.create_vertex_map(d, intr)
+    T = odom._gn_level(
+        odom._LevelData(v, None, vtx, nrm, None, intr),
+        jnp.eye(4, dtype=jnp.float32), odom.POINT_TO_PLANE,
+        odom.OdometryConvergenceCriteria(3), odom.OdometryLossParams(),
+    )
+    return d + T[0, 0] * 0.0
+
+chain_time("vertexmap + GN level0 (3 iters, 640x480)", gn_f, d0)
+
+
+@jax.jit
+def rows_f(d):
+    v = im.create_vertex_map(d, intr)
+    _, r, w, valid, _ = odom._rows_point_to_plane(
+        odom._LevelData(v, None, vtx, nrm, None, intr),
+        jnp.eye(4, dtype=jnp.float32), odom.OdometryLossParams(),
+    )
+    return d + jnp.sum(r * w) * 0.0
+
+chain_time("vertexmap + rows pt2plane (1 eval)", rows_f, d0)

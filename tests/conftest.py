@@ -44,6 +44,17 @@ def rng_key():
     return jax.random.PRNGKey(0)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Full-suite runs accumulate hundreds of live XLA:CPU executables and
+    tracing caches; past ~60% of the suite the process has died with
+    SIGABRT/SIGSEGV inside XLA (round-4, twice, at different tests).
+    Dropping the in-process caches between modules bounds that growth —
+    recompiles hit the persistent disk cache, so the cost is small."""
+    yield
+    jax.clear_caches()
+
+
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: >=1 s on the CPU reference run")
     config.addinivalue_line("markers", "fast: sub-1 s tier (pytest -m fast < 60 s)")
