@@ -528,3 +528,87 @@ def deform_as_rigid_as_possible(
     import dataclasses as _dc
 
     return _dc.replace(mesh, vertices=jnp.where(vmask[:, None], p, mesh.vertices))
+
+
+# ---------------------------------------------------------------------------
+# Boolean operations (SDF-based)
+# ---------------------------------------------------------------------------
+
+
+def _boolean_sdf(mesh_a: TriangleMesh, mesh_b: TriangleMesh, op: str,
+                 voxel_size: float, padding: float, triangle_capacity: int):
+    """Shared machinery: sample both meshes' signed distances on a dense
+    grid over the union AABB, combine per-op, re-extract with marching
+    tetrahedra.
+
+    Reference: TriangleMesh::BooleanUnion/Intersection/Difference
+    (t/geometry/TriangleMesh.h, VtkUtils.cpp — exact BREP booleans via
+    VTK). TPU redesign: exact intersection curve tracking is pointer-
+    chasing; an SDF composite (min/max/clamp of two watertight-mesh
+    signed-distance fields, Ricci '73) maps to two RaycastingScene
+    distance sweeps + one elementwise combine + one marching pass, all
+    data-parallel. Accuracy is bounded by voxel_size at the seam; the
+    inputs must be (near-)watertight for the parity-based sign.
+    """
+    import numpy as np
+
+    from open3d_tpu.geometry.raycasting import RaycastingScene
+    from open3d_tpu.pipelines.surface_reconstruction import (
+        marching_tetrahedra_dense,
+    )
+
+    lo = jnp.minimum(mesh_a.get_min_bound(), mesh_b.get_min_bound()) - padding
+    hi = jnp.maximum(mesh_a.get_max_bound(), mesh_b.get_max_bound()) + padding
+    lo = np.asarray(lo)
+    hi = np.asarray(hi)
+    dims = np.maximum(np.ceil((hi - lo) / voxel_size).astype(int) + 1, 2)
+    xs = [lo[i] + np.arange(dims[i]) * voxel_size for i in range(3)]
+    gx, gy, gz = jnp.meshgrid(*[jnp.asarray(x, jnp.float32) for x in xs],
+                              indexing="ij")
+    pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+    def sdf_of(mesh):
+        v, t = mesh.compact()
+        scene = RaycastingScene()
+        scene.add_triangles(v, t)
+        return scene.compute_signed_distance(pts)
+
+    da = sdf_of(mesh_a)
+    db = sdf_of(mesh_b)
+    if op == "union":
+        d = jnp.minimum(da, db)
+    elif op == "intersection":
+        d = jnp.maximum(da, db)
+    elif op == "difference":
+        d = jnp.maximum(da, -db)
+    else:
+        raise ValueError(op)
+    field = d.reshape(tuple(dims))
+    return marching_tetrahedra_dense(
+        field, iso=0.0, origin=tuple(lo.tolist()), spacing=voxel_size,
+        triangle_capacity=triangle_capacity,
+    )
+
+
+def boolean_union(mesh_a: TriangleMesh, mesh_b: TriangleMesh,
+                  voxel_size: float = 0.02, padding: float = 0.05,
+                  triangle_capacity: int = 131072) -> TriangleMesh:
+    """(ref: TriangleMesh::BooleanUnion, t/geometry/TriangleMesh.h)"""
+    return _boolean_sdf(mesh_a, mesh_b, "union", voxel_size, padding,
+                        triangle_capacity)
+
+
+def boolean_intersection(mesh_a: TriangleMesh, mesh_b: TriangleMesh,
+                         voxel_size: float = 0.02, padding: float = 0.05,
+                         triangle_capacity: int = 131072) -> TriangleMesh:
+    """(ref: TriangleMesh::BooleanIntersection)"""
+    return _boolean_sdf(mesh_a, mesh_b, "intersection", voxel_size, padding,
+                        triangle_capacity)
+
+
+def boolean_difference(mesh_a: TriangleMesh, mesh_b: TriangleMesh,
+                       voxel_size: float = 0.02, padding: float = 0.05,
+                       triangle_capacity: int = 131072) -> TriangleMesh:
+    """(ref: TriangleMesh::BooleanDifference)"""
+    return _boolean_sdf(mesh_a, mesh_b, "difference", voxel_size, padding,
+                        triangle_capacity)

@@ -193,3 +193,57 @@ class TestARAP:
         np.testing.assert_allclose(
             v, np.asarray(mesh.vertices) + shift, atol=2e-2
         )
+
+
+class TestBooleans:
+    """SDF-composite booleans (ref: TriangleMesh::BooleanUnion/
+    Intersection/Difference via VTK; TPU redesign = Ricci SDF combine)."""
+
+    def _box(self, center, size=1.0):
+        import numpy as np
+
+        c = np.asarray(center, np.float32)
+        h = size / 2
+        v = np.array(
+            [[x, y, z] for z in (-h, h) for y in (-h, h) for x in (-h, h)],
+            np.float32,
+        ) + c
+        f = np.array(
+            [[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5], [0, 4, 5], [0, 5, 1],
+             [2, 3, 7], [2, 7, 6], [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]],
+            np.int32,
+        )
+        return TriangleMesh.create(jnp.asarray(v), jnp.asarray(f))
+
+    def test_union_intersection_difference_volumes(self):
+        import numpy as np
+
+        a = self._box((0.0, 0.0, 0.0))
+        b = self._box((0.5, 0.0, 0.0))
+
+        def volume(mesh):
+            # parity occupancy on a sample grid (winding-independent:
+            # marching tetrahedra emits arbitrary triangle orientation)
+            from open3d_tpu.geometry.raycasting import RaycastingScene
+
+            v, t = mesh.compact()
+            scene = RaycastingScene()
+            scene.add_triangles(v, t)
+            g = np.linspace(-0.6, 1.1, 35, dtype=np.float32)
+            xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+            pts = jnp.asarray(np.stack([xx, yy, zz], -1).reshape(-1, 3))
+            occ = np.asarray(scene.compute_occupancy(pts))
+            cell = float(g[1] - g[0]) ** 3
+            return occ.sum() * cell
+
+        vs = 0.05
+        un = mo.boolean_union(a, b, voxel_size=vs)
+        it = mo.boolean_intersection(a, b, voxel_size=vs)
+        df = mo.boolean_difference(a, b, voxel_size=vs)
+        # analytic: |A|=1, |B|=1, overlap=0.5 -> union 1.5, inter 0.5, diff 0.5
+        assert abs(volume(un) - 1.5) < 0.12, volume(un)
+        assert abs(volume(it) - 0.5) < 0.08, volume(it)
+        assert abs(volume(df) - 0.5) < 0.08, volume(df)
+        # orientation sanity: all three produce non-trivial watertight-ish sets
+        for m in (un, it, df):
+            assert int(m.num_triangles()) > 50
