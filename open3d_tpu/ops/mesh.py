@@ -612,3 +612,133 @@ def boolean_difference(mesh_a: TriangleMesh, mesh_b: TriangleMesh,
     """(ref: TriangleMesh::BooleanDifference)"""
     return _boolean_sdf(mesh_a, mesh_b, "difference", voxel_size, padding,
                         triangle_capacity)
+
+
+# ---------------------------------------------------------------------------
+# UV atlas + texture baking
+# ---------------------------------------------------------------------------
+
+
+def _atlas_layout(n_tris: int, size: int):
+    """One square patch of P x P texels per triangle.
+
+    Returns (P block edge in texels, bpr blocks per row). The reference
+    computes isometric charts through UVAtlas (kernel/UVUnwrapping.cpp) —
+    a sequential mesh-cut optimizer; this TPU-native atlas gives every
+    triangle its own analytic right-triangle patch instead (more seams,
+    zero search, fully data-parallel bake)."""
+    bpr = int(np.ceil(np.sqrt(max(n_tris, 1))))
+    P = size // bpr
+    if P < 4:
+        raise ValueError(
+            f"texture size {size} too small for {n_tris} triangles "
+            f"(needs >= {4 * bpr})"
+        )
+    return P, bpr
+
+
+def compute_uv_atlas(mesh: TriangleMesh, size: int = 512) -> TriangleMesh:
+    """Assign per-triangle texture UVs as a triangle attr "texture_uvs"
+    (T, 3, 2), in [0, 1] (ref: TriangleMesh::ComputeUVAtlas,
+    t/geometry/kernel/UVUnwrapping.cpp — see _atlas_layout for the
+    TPU-native divergence)."""
+    T = mesh.triangles.shape[0]
+    P, bpr = _atlas_layout(T, size)
+    t = jnp.arange(T, dtype=jnp.int32)
+    bx = (t % bpr) * P
+    by = (t // bpr) * P
+    lo, hi = 1.0, P - 2.0
+    corners = jnp.asarray([[lo, lo], [hi, lo], [lo, hi]], jnp.float32)
+    orig = jnp.stack([bx, by], -1).astype(jnp.float32)  # (T, 2)
+    uvs = (corners[None] + orig[:, None, :]) / float(size)
+    import dataclasses as _dc
+
+    return _dc.replace(
+        mesh,
+        triangle_attrs={**mesh.triangle_attrs, "texture_uvs": uvs},
+    )
+
+
+def _patch_barycentrics(P: int):
+    """(P, P) barycentric maps for the canonical patch; axis 0 = x (u),
+    axis 1 = y (v). Returns (lam0, lam1, lam2, inside)."""
+    xs = jnp.arange(P, dtype=jnp.float32)[:, None]
+    ys = jnp.arange(P, dtype=jnp.float32)[None, :]
+    denom = max(P - 3.0, 1.0)
+    lam1 = (xs - 1.0) / denom + 0.0 * ys
+    lam2 = (ys - 1.0) / denom + 0.0 * xs
+    lam0 = 1.0 - lam1 - lam2
+    inside = (lam0 >= -1e-6) & (lam1 >= -1e-6) & (lam2 >= -1e-6)
+    return lam0, lam1, lam2, inside
+
+
+def bake_vertex_attr_textures(
+    mesh: TriangleMesh, attr_names, size: int = 512
+) -> dict:
+    """Rasterize vertex attributes into texture images over the
+    per-triangle atlas (ref: TriangleMesh::BakeVertexAttrTextures,
+    t/geometry/TriangleMesh.h). Requires compute_uv_atlas's layout.
+
+    Because every triangle owns an analytic patch, the texel -> (triangle,
+    barycentric) map is closed-form: the bake is one vectorized
+    barycentric blend over (blocks, P, P) texels — no rasterization
+    search. Returns {name: (size, size, C) f32}."""
+    T = mesh.triangles.shape[0]
+    P, bpr = _atlas_layout(T, size)
+    n_blocks = bpr * bpr
+    tri = jnp.maximum(mesh.triangles, 0)
+    lam0, lam1, lam2, inside = _patch_barycentrics(P)
+
+    pad = n_blocks - T
+    tri_p = jnp.concatenate([tri, jnp.zeros((pad, 3), jnp.int32)], 0)
+    tmask = jnp.concatenate([mesh.triangle_mask, jnp.zeros((pad,), bool)], 0)
+
+    out = {}
+    for name in attr_names:
+        va = mesh.vertex_attrs[name]
+        if va.ndim == 1:
+            va = va[:, None]
+        C = va.shape[1]
+        v012 = va[tri_p]  # (n_blocks, 3, C)
+        tex = (
+            lam0[None, ..., None] * v012[:, None, None, 0]
+            + lam1[None, ..., None] * v012[:, None, None, 1]
+            + lam2[None, ..., None] * v012[:, None, None, 2]
+        )  # (n_blocks, P, P, C) with axes (block, x, y, C)
+        live = inside[None, ..., None] & tmask[:, None, None, None]
+        tex = jnp.where(live, tex, 0.0)
+        # blocks row-major; uv x = cols, y = rows -> image[y, x]
+        img = tex.reshape(bpr, bpr, P, P, C).transpose(0, 3, 1, 2, 4)
+        img = img.reshape(bpr * P, bpr * P, C)
+        full = jnp.zeros((size, size, C), jnp.float32)
+        out[name] = full.at[: bpr * P, : bpr * P].set(img)
+    return out
+
+
+def bake_triangle_attr_textures(
+    mesh: TriangleMesh, attr_names, size: int = 512
+) -> dict:
+    """Constant per-triangle fill of each atlas patch
+    (ref: TriangleMesh::BakeTriangleAttrTextures)."""
+    T = mesh.triangles.shape[0]
+    P, bpr = _atlas_layout(T, size)
+    n_blocks = bpr * bpr
+    _, _, _, inside = _patch_barycentrics(P)
+    pad = n_blocks - T
+    tmask = jnp.concatenate([mesh.triangle_mask, jnp.zeros((pad,), bool)], 0)
+    out = {}
+    for name in attr_names:
+        ta = mesh.triangle_attrs[name]
+        if ta.ndim == 1:
+            ta = ta[:, None]
+        C = ta.shape[1]
+        tp = jnp.concatenate([ta, jnp.zeros((pad, C), ta.dtype)], 0)
+        tex = jnp.where(
+            inside[None, ..., None] & tmask[:, None, None, None],
+            tp[:, None, None, :], 0.0,
+        )
+        img = tex.reshape(bpr, bpr, P, P, C).transpose(0, 3, 1, 2, 4)
+        img = img.reshape(bpr * P, bpr * P, C)
+        full = jnp.zeros((size, size, C), jnp.float32)
+        out[name] = full.at[: bpr * P, : bpr * P].set(img)
+    return out

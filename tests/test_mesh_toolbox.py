@@ -247,3 +247,58 @@ class TestBooleans:
         # orientation sanity: all three produce non-trivial watertight-ish sets
         for m in (un, it, df):
             assert int(m.num_triangles()) > 50
+
+
+class TestUVAtlasBaking:
+    def test_atlas_and_vertex_bake_roundtrip(self):
+        """(ref: ComputeUVAtlas + BakeVertexAttrTextures,
+        t/geometry/TriangleMesh.h / kernel/UVUnwrapping.cpp)"""
+        import numpy as np
+
+        v = jnp.asarray(
+            [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], jnp.float32
+        )
+        t = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+        colors = jnp.asarray(
+            [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]], jnp.float32
+        )
+        mesh = TriangleMesh.create(v, t, vertex_attrs={"colors": colors})
+        mesh = mo.compute_uv_atlas(mesh, size=64)
+        uvs = np.asarray(mesh.triangle_attrs["texture_uvs"])
+        assert uvs.shape == (2, 3, 2)
+        assert (uvs >= 0).all() and (uvs <= 1).all()
+        # patches must not overlap: triangle 0 and 1 share a block but
+        # disjoint halves
+        tex = mo.bake_vertex_attr_textures(mesh, ["colors"], size=64)["colors"]
+        tex = np.asarray(tex)
+        assert tex.shape == (64, 64, 3)
+        # sample at each triangle's uv barycenter -> mean of vertex colors
+        cn = np.asarray(colors)
+        tn = np.asarray(t)
+        for k in range(2):
+            uv_c = uvs[k].mean(axis=0) * 64
+            x, y = int(round(uv_c[0])), int(round(uv_c[1]))
+            expected = cn[tn[k]].mean(axis=0)
+            got = tex[y, x]
+            assert np.allclose(got, expected, atol=0.12), (k, got, expected)
+        # per-vertex corners reproduce the vertex colors
+        for k in range(2):
+            for j in range(3):
+                x, y = (uvs[k, j] * 64).round().astype(int)
+                assert np.allclose(tex[y, x], cn[tn[k, j]], atol=0.15)
+
+    def test_triangle_bake_constant_patches(self):
+        v = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], jnp.float32)
+        t = jnp.asarray([[0, 1, 2]], jnp.int32)
+        mesh = TriangleMesh.create(
+            v, t, triangle_attrs={"labels": jnp.asarray([[0.25]], jnp.float32)}
+        )
+        mesh = mo.compute_uv_atlas(mesh, size=32)
+        import numpy as np
+
+        tex = np.asarray(
+            mo.bake_triangle_attr_textures(mesh, ["labels"], size=32)["labels"]
+        )
+        uvs = np.asarray(mesh.triangle_attrs["texture_uvs"])
+        uv_c = uvs[0].mean(axis=0) * 32
+        assert abs(tex[int(uv_c[1]), int(uv_c[0]), 0] - 0.25) < 1e-6
