@@ -26,10 +26,19 @@ from open3d_tpu.core.masking import FAR_COORD
 from open3d_tpu.geometry.pointcloud import PointCloud
 
 
-def voxel_down_sample(pcd: PointCloud, voxel_size: float) -> PointCloud:
-    """Average points (and attrs) per occupied voxel. Capacity preserved;
-    result rows 0..n_voxels-1 are valid (ref: PointCloud::VoxelDownSample,
-    PointCloud.h:357)."""
+def voxel_down_sample(
+    pcd: PointCloud, voxel_size: float, capacity: int | None = None
+) -> PointCloud:
+    """Average points (and attrs) per occupied voxel. Result rows
+    0..n_voxels-1 are valid (ref: PointCloud::VoxelDownSample,
+    PointCloud.h:357).
+
+    capacity: optional SMALLER output capacity. The fixed-capacity idiom
+    means downstream compute scales with the buffer, not the live count —
+    a cloud downsampled from 307k rows to 30k points otherwise still pays
+    307k-row NNS/ICP shapes. Valid rows are compacted to the front, so
+    shrinking is a static slice; voxels beyond `capacity` are dropped
+    (detect via count() == capacity)."""
     N = pcd.capacity
     pos = pcd.positions
     # Voxel integer coords; invalid rows land at huge coords and sort last.
@@ -60,6 +69,10 @@ def voxel_down_sample(pcd: PointCloud, voxel_size: float) -> PointCloud:
     if "normals" in new_attrs:
         nrm = new_attrs["normals"]
         new_attrs["normals"] = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    if capacity is not None and capacity < N:
+        new_pos = new_pos[:capacity]
+        new_mask = new_mask[:capacity]
+        new_attrs = {k: v[:capacity] for k, v in new_attrs.items()}
     return PointCloud(positions=new_pos, mask=new_mask, attrs=new_attrs)
 
 

@@ -58,6 +58,11 @@ def _clear_jax_caches_between_modules():
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: >=1 s on the CPU reference run")
     config.addinivalue_line("markers", "fast: sub-1 s tier (pytest -m fast < 60 s)")
+    config.addinivalue_line(
+        "markers",
+        "full: heavy end-to-end runs (minutes of XLA:CPU compile each); "
+        "skipped by default — enable with O3DTPU_FULL_TESTS=1",
+    )
 
 
 # Measured on the round-3 full CPU run (973 s total). Everything not listed
@@ -202,9 +207,37 @@ _SLOW_TESTS = {
 }
 
 
+# Heavy end-to-end tests (the top of the round-4 duration list: the two
+# full reconstruction-system runs, the 8-device sharded chains, SLAC) —
+# ~8 min of mostly XLA:CPU compile on a cold cache. `pytest tests/` skips
+# them so the default suite is the merge gate the verdict asked for
+# (round-3 item #7: tier it); O3DTPU_FULL_TESTS=1 runs everything.
+_FULL_TESTS = {
+    "tests/test_reconstruction.py::TestReconstructionSystem::test_run_system_ate",
+    "tests/test_reconstruction.py::TestShardedRunSystem",
+    "tests/test_tum_pipeline.py::TestTUMLayout::test_run_system_on_tum_layout_ate",
+    "tests/test_distributed_pipeline.py::test_sharded_matches_single_device",
+    "tests/test_distributed_pipeline.py::test_register_pairs_sharded",
+    "tests/test_distributed_pipeline.py::test_make_fragments_sharded",
+    "tests/test_distributed_pipeline.py::test_full_distributed_round_trip",
+    "tests/test_parallel.py::test_sharded_matches_single_device",
+    "tests/test_slac.py::TestSLACOptimizer::test_slac_straightens_bent_fragments",
+}
+
+
 def pytest_collection_modifyitems(config, items):
+    import os
+
+    run_full = bool(os.environ.get("O3DTPU_FULL_TESTS"))
+    skip_full = pytest.mark.skip(
+        reason="full tier: set O3DTPU_FULL_TESTS=1 (heavy e2e compile)"
+    )
     for item in items:
         nodeid = item.nodeid.replace("\\", "/")
+        if any(nodeid.startswith(s) for s in _FULL_TESTS):
+            item.add_marker(pytest.mark.full)
+            if not run_full:
+                item.add_marker(skip_full)
         if any(nodeid.startswith(s) for s in _SLOW_TESTS):
             item.add_marker(pytest.mark.slow)
         else:

@@ -71,7 +71,12 @@ def test_slam_tracks_and_reconstructs(sequence):
 
 def test_slam_first_frame_identity(sequence):
     depths, colors, extrinsics, intrinsic = sequence
-    cfg = dense_slam.SLAMConfig(voxel_size=0.04, block_count=2048, frame_block_capacity=1024, depth_max=6.0)
+    # same shapes as test_slam_tracks_and_reconstructs so the two tests
+    # share one compiled slam_step program (42 s of extra compile before)
+    cfg = dense_slam.SLAMConfig(
+        voxel_size=0.03, block_count=4096, frame_block_capacity=2048,
+        depth_max=6.0, raycast_max_steps=120,
+    )
     model = dense_slam.create_model(cfg)
     res = dense_slam.slam_step(model, depths[0], colors[0], jnp.zeros_like(depths[0]), intrinsic)
     # frame 0 keeps the init pose and must report tracking ok
