@@ -177,7 +177,7 @@ def bench_icp(key, small=False):
     clouds = []
     # fixed-capacity shapes drive the compute: shrink the downsampled
     # clouds to a realistic capacity or ICP pays full 307k-row NNS
-    cap = 2048 if small else 65536
+    cap = 2048 if small else 40960
     for i in range(2):
         pcd = pointcloud_from_depth(depths[i], intr, extr[i])
         down = pc_ops.voxel_down_sample(pcd, 0.02, capacity=cap)

@@ -297,9 +297,17 @@ def _intensity(colors: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-# Above this size the O(N*M) brute-force 1-NN loses to the hash-grid probe
-# (build = one lax.sort per call; query = 27 * max_per_cell candidates).
-_GRID_NNS_THRESHOLD = 32768
+# Size where the O(N*M) brute-force 1-NN starts losing to the hash-grid
+# probe (build = one lax.sort per call; query = 27 * max_per_cell
+# candidates). PLATFORM-DEPENDENT: the brute sweep is MXU matmuls, which a
+# TPU executes ~3 orders faster than the grid path's scalar gathers — on
+# chip the crossover sits far higher than on the CPU reference backend
+# (measured round 4: 64k-point ICP ran 0.9 s/iter on the TPU grid path vs
+# milliseconds on the MXU sweep).
+def _grid_nns_threshold() -> int:
+    from open3d_tpu.core.platform import is_tpu
+
+    return 262144 if is_tpu() else 32768
 
 
 def _make_corr_grid(tgt: PointCloud, dmax: float, nns_backend: str = "auto"):
@@ -307,12 +315,12 @@ def _make_corr_grid(tgt: PointCloud, dmax: float, nns_backend: str = "auto"):
     search, or None when brute force is the better kernel.
 
     nns_backend (advisor r2 #3 / VERDICT r4 item 8 — the accuracy switch is
-    caller-visible): "auto" = grid above _GRID_NNS_THRESHOLD points,
+    caller-visible): "auto" = grid above a platform-dependent size,
     "exact" = always the exact O(N*M) MXU sweep, "grid" = always the hash
     grid (whose max_per_cell cap can drop true neighbors in dense cells)."""
     if nns_backend == "exact":
         return None
-    if nns_backend == "auto" and tgt.positions.shape[0] < _GRID_NNS_THRESHOLD:
+    if nns_backend == "auto" and tgt.positions.shape[0] < _grid_nns_threshold():
         return None
     return nns_grid.build_grid(tgt.positions, float(dmax), mask=tgt.mask)
 
