@@ -414,6 +414,13 @@ def march_tiles(
     H, W = intrinsic.height, intrinsic.width
     TH, TW = -(-H // tile), -(-W // tile)
     T = TH * TW
+    # K must match the K the lists were built with: the kernel indexes the
+    # scalar-prefetched rows at t*K + k, so a mismatch reads out of bounds
+    # and kills the chip with an opaque "TPU backend error"
+    assert lists.rows.shape[0] == T * K + G, (
+        f"tile-list shape {lists.rows.shape[0]} != T*K+G = {T * K + G}: "
+        "build_tile_lists and march_tiles must use the same tile/K/G"
+    )
     NR = tile * tile
     C = vbg.capacity
 

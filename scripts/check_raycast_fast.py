@@ -56,13 +56,13 @@ d_fast, ovf = timeit("raycast_fast", fast, vbg, E)
 print("overflow:", int(ovf), flush=True)
 
 lists_f = jax.jit(
-    lambda v, E: prc.build_tile_lists(v, intr, E, 0.1, 3.0)
+    lambda v, E: prc.build_tile_lists(v, intr, E, 0.1, 3.0, K=24)
 )
 lists = timeit("  pass1 build_tile_lists", lists_f, vbg, E)
 print("  nk mean/max:", float(jnp.mean(lists.nk)), int(jnp.max(lists.nk)),
       "extras:", int(lists.n_extra[0]), flush=True)
 march_f = jax.jit(
-    lambda v, l, E: prc.march_tiles(v, l, intr, E, 0.1, 3.0)
+    lambda v, l, E: prc.march_tiles(v, l, intr, E, 0.1, 3.0, K=24)
 )
 timeit("  pass2 march", march_f, vbg, lists, E)
 
