@@ -375,3 +375,128 @@ def compute_boundary_points(
     boundary = pcd.mask & ((nv < 3) | (max_gap > thresh))
     del karange, cnt
     return boundary
+
+
+def extrude_linear(pcd: PointCloud, vector, scale: float = 1.0):
+    """Sweep every point along `vector * scale`; returns a LineSet with one
+    segment per point (ref: PointCloud::ExtrudeLinear, PointCloud.h:719)."""
+    from open3d_tpu.geometry.lineset import LineSet
+
+    v = jnp.asarray(vector, jnp.float32) * scale
+    N = pcd.capacity
+    p0 = pcd.positions
+    p1 = jnp.where(pcd.mask[:, None], p0 + v, p0)
+    pts = jnp.concatenate([p0, p1], axis=0)
+    pmask = jnp.concatenate([pcd.mask, pcd.mask])
+    lines = jnp.stack(
+        [jnp.arange(N, dtype=jnp.int32), jnp.arange(N, dtype=jnp.int32) + N],
+        axis=-1,
+    )
+    return LineSet.create(pts, lines, point_mask=pmask, line_mask=pcd.mask)
+
+
+def extrude_rotation(
+    pcd: PointCloud,
+    angle_deg: float,
+    axis,
+    resolution: int = 16,
+    translation: float = 0.0,
+):
+    """Sweep every point around `axis` (through the origin) by `angle_deg`,
+    optionally translating along the axis (a helix); returns the swept
+    polylines as a LineSet (ref: PointCloud::ExtrudeRotation,
+    PointCloud.h:707)."""
+    from open3d_tpu.core import lie
+    from open3d_tpu.geometry.lineset import LineSet
+
+    ax = jnp.asarray(axis, jnp.float32)
+    ax = ax / jnp.maximum(jnp.linalg.norm(ax), 1e-12)
+    N = pcd.capacity
+    R = resolution
+    ks = jnp.arange(R + 1, dtype=jnp.float32) / R
+    angles = jnp.deg2rad(angle_deg) * ks
+    # rotation about axis via exp of so(3); stack (R+1) copies
+    rots = jax.vmap(lambda a: lie.so3_exp(ax * a))(angles)  # (R+1, 3, 3)
+    offs = ks[:, None] * translation * ax[None, :]
+    pts = (
+        jnp.einsum("kij,nj->kni", rots, pcd.positions) + offs[:, None, :]
+    ).reshape((R + 1) * N, 3)
+    pmask = jnp.tile(pcd.mask, R + 1)
+    seg = jnp.arange(N, dtype=jnp.int32)
+    lines = jnp.concatenate(
+        [
+            jnp.stack([seg + k * N, seg + (k + 1) * N], axis=-1)
+            for k in range(R)
+        ],
+        axis=0,
+    )
+    lmask = jnp.tile(pcd.mask, R)
+    return LineSet.create(pts, lines, point_mask=pmask, line_mask=lmask)
+
+
+def pca_partition(pcd: PointCloud, max_points: int):
+    """Partition the cloud with recursive PCA splits until every partition
+    holds <= max_points points (ref: PointCloud::PCAPartition,
+    t/geometry/kernel/PCAPartition.cpp).
+
+    TPU design: the reference splits the LARGEST partition first through a
+    priority queue (sequential). Here EVERY oversize partition splits each
+    round (mean/cov via segment sums, vmapped 3x3 eigh, split at the
+    mid-extent along the principal axis — the same center rule), reaching
+    the same invariant in ceil(log2(N / max_points)) + 1 vectorized
+    rounds; ids are compacted densely at the end. Returns
+    (num_partitions (), partition_ids (N,) int32, -1 on invalid points).
+    """
+    import math
+
+    N = pcd.capacity
+    pos = pcd.positions
+    mask = pcd.mask
+    w = mask.astype(jnp.float32)
+    rounds = max(
+        int(math.ceil(math.log2(max(N / max(max_points, 1), 1.0)))) + 1, 1
+    )
+    P = 2 ** rounds  # id space after all rounds
+
+    ids0 = jnp.zeros((N,), jnp.int32)
+
+    def round_body(ids, _):
+        cnt = jax.ops.segment_sum(w, ids, num_segments=P)
+        sx = jax.ops.segment_sum(pos * w[:, None], ids, num_segments=P)
+        mean = sx / jnp.maximum(cnt, 1.0)[:, None]
+        d = (pos - mean[ids]) * w[:, None]
+        sxx = jax.ops.segment_sum(
+            jnp.einsum("ni,nj->nij", d, d), ids, num_segments=P
+        )
+        cov = sxx / jnp.maximum(cnt, 1.0)[:, None, None]
+        _, evecs = jax.vmap(linalg.eigh3x3)(cov)
+        ax = evecs[..., 2]  # largest-eigenvalue axis
+        dot = jnp.sum((pos - mean[ids]) * ax[ids], axis=-1)
+        big = jnp.float32(3e38)
+        dmin = jax.ops.segment_min(
+            jnp.where(mask, dot, big), ids, num_segments=P
+        )
+        dmax = jax.ops.segment_max(
+            jnp.where(mask, dot, -big), ids, num_segments=P
+        )
+        center = 0.5 * (dmin + dmax)
+        oversize = cnt > max_points
+        split = oversize[ids] & mask
+        new_ids = jnp.where(
+            split, 2 * ids + (dot >= center[ids]).astype(jnp.int32), 2 * ids
+        )
+        return new_ids, None
+
+    ids, _ = jax.lax.scan(round_body, ids0, None, length=rounds)
+    # compact ids to 0..K-1 (invalid points -> -1)
+    big_id = jnp.int32(2**30)
+    key = jnp.where(mask, ids, big_id)
+    uniq = jnp.sort(key)
+    first = jnp.concatenate([jnp.ones((1,), bool), uniq[1:] != uniq[:-1]])
+    valid_first = first & (uniq < big_id)
+    n_parts = jnp.sum(valid_first.astype(jnp.int32))
+    roots = jnp.where(valid_first, uniq, big_id)
+    roots = jnp.sort(roots)
+    rank = jnp.searchsorted(roots, key)
+    out = jnp.where(mask, rank.astype(jnp.int32), -1)
+    return n_parts, out

@@ -157,3 +157,49 @@ class TestOrientAndBoundary:
         ) & (pts[:, 1] < 0.85)
         assert b[edge].mean() > 0.7, f"edge recall {b[edge].mean():.2f}"
         assert b[interior].mean() < 0.05, f"interior fp {b[interior].mean():.2f}"
+
+
+class TestExtrudePartition:
+    def test_extrude_linear_segments(self):
+        import numpy as np
+
+        pts = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], jnp.float32)
+        pcd = PointCloud.create(pts)
+        ls = pc_ops.extrude_linear(pcd, (0, 0, 2.0), scale=0.5)
+        p = np.asarray(ls.points)
+        assert np.allclose(p[3:6] - p[0:3], [0, 0, 1.0])
+        assert int(ls.line_mask.sum()) == 3
+
+    def test_extrude_rotation_arc(self):
+        import numpy as np
+
+        pts = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+        pcd = PointCloud.create(pts)
+        ls = pc_ops.extrude_rotation(pcd, 90.0, (0, 0, 1), resolution=4)
+        p = np.asarray(ls.points)
+        # the swept point stays on the unit circle; last copy at (0, 1, 0)
+        assert np.allclose(np.linalg.norm(p[:, :2], axis=1), 1.0, atol=1e-5)
+        assert np.allclose(p[-1], [0, 1, 0], atol=1e-5)
+        assert int(ls.line_mask.sum()) == 4
+
+    def test_pca_partition_respects_max_points(self):
+        """(ref: PointCloud::PCAPartition, kernel/PCAPartition.cpp)"""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-1, 1, (1000, 3)).astype(np.float32)
+        pts[:, 0] *= 5.0  # elongated: first splits go along x
+        pcd = PointCloud.create(jnp.asarray(pts))
+        n_parts, ids = pc_ops.pca_partition(pcd, max_points=100)
+        ids = np.asarray(ids)
+        n = int(n_parts)
+        assert n >= 10
+        assert ids.min() >= 0 and ids.max() == n - 1
+        sizes = np.bincount(ids, minlength=n)
+        assert sizes.max() <= 100, sizes.max()
+        assert sizes.min() >= 1
+        # partitions are spatially coherent: per-partition extent along x
+        # is much smaller than the cloud's
+        for k in range(n):
+            ext = float(np.ptp(pts[ids == k][:, 0]))
+            assert ext < 10.0 * 0.7
