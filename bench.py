@@ -129,24 +129,33 @@ def bench_raycast(vbg, intrinsic, extrinsic, gt_depth=None):
     return 1.0 / dt, acc
 
 
-def bench_slam(intrinsic, depths, colors, small=False):
+def bench_slam(intrinsic, depths, colors, small=False, stride=1):
+    """stride > 1 renders the TRACKING model frame at reduced resolution
+    (model_raycast_stride; ATE-gated by test_slam_half_res_model_raycast) —
+    reported as a separate metric, the default config stays reference-
+    faithful full-res."""
     from functools import partial
 
     from open3d_tpu.models import dense_slam
 
     if small:
         cfg = dense_slam.SLAMConfig(
-            voxel_size=0.02, block_count=2048, frame_block_capacity=256
+            voxel_size=0.02, block_count=2048, frame_block_capacity=256,
+            model_raycast_stride=stride,
         )
     else:
-        cfg = dense_slam.SLAMConfig(block_count=40960, frame_block_capacity=2048)
+        cfg = dense_slam.SLAMConfig(
+            block_count=40960, frame_block_capacity=2048,
+            model_raycast_stride=stride,
+        )
     model = dense_slam.create_model(cfg)
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(model, depth, color, model_depth):
         return dense_slam.slam_step(model, depth, color, model_depth, intrinsic)
 
-    md = jnp.zeros_like(depths[0])
+    H, W = depths[0].shape
+    md = jnp.zeros((H // stride, W // stride), depths.dtype)
     res = step(model, depths[0], colors[0], md)
     model, md = res.model, res.raycast_depth
     _drain(md)
@@ -281,6 +290,7 @@ def main():
         vbg, intrinsic, extrinsics[0], gt_depth=depths[0]
     )
     slam_fps = bench_slam(intrinsic, depths, colors, small)
+    slam_half_fps = bench_slam(intrinsic, depths, colors, small, stride=2)
     key = jax.random.PRNGKey(0)
     icp_ips = bench_icp(key, small)
     odo_fps = bench_odometry(intrinsic, depths, colors)
@@ -291,6 +301,7 @@ def main():
         "raycast_vs_30fps": round(raycast_fps / RAYCAST_TARGET_FPS, 3),
         "slam_fps": round(slam_fps, 2),
         "slam_vs_30fps": round(slam_fps / RAYCAST_TARGET_FPS, 3),
+        "slam_half_res_track_fps": round(slam_half_fps, 2),
         "icp_iters_per_s": round(icp_ips, 1),
         "odometry_fps": round(odo_fps, 2),
         "fpfh_ransac_s": round(fpfh_s, 3),

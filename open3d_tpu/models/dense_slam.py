@@ -58,6 +58,11 @@ class SLAMConfig:
     # (ref: the normal render attr, t/geometry/VoxelBlockGrid.cpp:354-367).
     # Costs 6 trilinear samples per hit pixel; off in the speed benchmarks.
     raycast_normals: bool = False
+    # Model-frame raycast resolution divisor for TRACKING ONLY (the
+    # reference raycasts full-res, Model.cpp:38-49; tracking quality at
+    # stride 2 holds on the synthetic ATE gate — see test_slam). Rays drop
+    # by stride^2; integration is unaffected. 1 = reference behavior.
+    model_raycast_stride: int = 1
 
 
 @partial(
@@ -108,6 +113,8 @@ def synthesize_model_frame(
     """Raycast the TSDF from the current pose (ref: Model::SynthesizeModelFrame,
     slam/Model.cpp:38-49). extrinsic = world->frame = inv(T_frame_to_world)."""
     cfg = model.config
+    if cfg.model_raycast_stride > 1:
+        intrinsic = intrinsic.scaled(1.0 / cfg.model_raycast_stride)
     extrinsic = lie.invert_se3(model.T_frame_to_world)
     ray = vbg_mod.raycast(
         model.vbg,
@@ -143,6 +150,14 @@ def track_frame_to_model(
     source = input frame, target = raycast of the model at the previous pose;
     the returned T maps input-frame points into the model-frame (delta pose).
     model_normals: optional raycast TSDF-gradient normal map for the target."""
+    stride = model.config.model_raycast_stride
+    if stride > 1:
+        from open3d_tpu.geometry import image as im
+
+        n_down = int(stride).bit_length() - 1
+        for _ in range(n_down):
+            input_depth = im.pyrdown_depth(input_depth)
+        intrinsic = intrinsic.scaled(1.0 / stride)
     src = RGBDImage(color=jnp.zeros_like(input_depth), depth=input_depth)
     tgt = RGBDImage(color=jnp.zeros_like(model_depth), depth=model_depth)
     return odom.rgbd_odometry_multi_scale(

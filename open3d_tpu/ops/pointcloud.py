@@ -343,7 +343,7 @@ def compute_boundary_points(
         raise ValueError("compute_boundary_points requires normals")
     pos = pcd.positions
     nrm = pcd.attrs["normals"]
-    idx, _, cnt = nns.hybrid_search(pos, pos, radius, max_nn, target_mask=pcd.mask)
+    idx, _, _ = nns.hybrid_search(pos, pos, radius, max_nn, target_mask=pcd.mask)
     ok = idx >= 0
     safe = jnp.maximum(idx, 0)
     d = pos[safe] - pos[:, None, :]  # (N, k, 3)
@@ -365,16 +365,13 @@ def compute_boundary_points(
     gap = jnp.where(jnp.isfinite(nxt) & jnp.isfinite(ang_s), nxt - ang_s, 0.0)
     # wrap-around gap: first valid + 2pi - last valid
     first = ang_s[:, 0]
-    karange = jnp.arange(ang_s.shape[1])
     last = jnp.take_along_axis(
         ang_s, jnp.maximum(nv - 1, 0)[:, None], axis=1
     )[:, 0]
     wrap = jnp.where(nv >= 2, first + 2.0 * jnp.pi - last, 2.0 * jnp.pi)
     max_gap = jnp.maximum(jnp.max(gap, axis=1), wrap)
     thresh = jnp.deg2rad(angle_threshold)
-    boundary = pcd.mask & ((nv < 3) | (max_gap > thresh))
-    del karange, cnt
-    return boundary
+    return pcd.mask & ((nv < 3) | (max_gap > thresh))
 
 
 def extrude_linear(pcd: PointCloud, vector, scale: float = 1.0):

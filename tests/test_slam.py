@@ -124,3 +124,33 @@ def test_slam_with_raycast_normals(sequence):
     hit = np.asarray(ray_depth) > 0
     lens = np.linalg.norm(n[hit], axis=-1)
     assert np.all(np.abs(lens[lens > 0] - 1.0) < 1e-3)
+
+
+def test_slam_half_res_model_raycast(sequence):
+    """model_raycast_stride=2: the tracking model frame renders at half
+    resolution (4x fewer rays) — the ATE gate must still hold."""
+    depths, colors, extrinsics, intrinsic = sequence
+    cfg = dense_slam.SLAMConfig(
+        voxel_size=0.03,
+        block_count=4096,
+        frame_block_capacity=2048,
+        depth_max=6.0,
+        raycast_max_steps=120,
+        model_raycast_stride=2,
+    )
+    model = dense_slam.create_model(cfg, T_init=lie.invert_se3(extrinsics[0]))
+    step = jax.jit(
+        lambda m, d, c, rd: dense_slam.slam_step(m, d, c, rd, intrinsic),
+        donate_argnums=(0,),
+    )
+    H, W = depths[0].shape
+    ray_depth = jnp.zeros((H // 2, W // 2), depths.dtype)
+    trans_errs = []
+    for i in range(4):
+        res = step(model, depths[i], colors[i], ray_depth)
+        model, ray_depth = res.model, res.raycast_depth
+        assert ray_depth.shape == (H // 2, W // 2)
+        gt = lie.invert_se3(extrinsics[i])
+        _, te = lie.pose_distance(jax.device_get(model.T_frame_to_world), gt)
+        trans_errs.append(float(te))
+    assert max(trans_errs) < 0.05, f"translation errors {trans_errs}"
