@@ -64,6 +64,10 @@ def read_point_cloud(path: str, capacity: Optional[int] = None):
         d = np.load(path)
         kw = {k: d[k] for k in d.files if k not in ("positions", "mask")}
         return PointCloud.create(d["positions"], capacity=capacity, mask=d.get("mask"), **kw)
+    if ext == ".splat":
+        from open3d_tpu.io import splat as splat_io
+
+        return splat_io.read_splat(path, capacity=capacity)
     raise ValueError(f"unsupported point cloud format: {ext}")
 
 
@@ -86,6 +90,10 @@ def write_point_cloud(path: str, pcd) -> None:
         np.savetxt(path, np.concatenate([pos, nn], axis=1), fmt="%.7f")
     elif ext == ".npz":
         np.savez(path, **{k: v for k, v in d.items()})
+    elif ext == ".splat":
+        from open3d_tpu.io import splat as splat_io
+
+        splat_io.write_splat(path, pcd)
     else:
         raise ValueError(f"unsupported point cloud format: {ext}")
 

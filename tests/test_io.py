@@ -251,3 +251,48 @@ class TestMeshFormats:
 
     def test_glb_roundtrip(self, tmp_path):
         self._roundtrip(tmp_path, ".glb")
+
+
+class TestSplat:
+    def test_splat_roundtrip(self, tmp_path):
+        """(ref: t/io/file_format/FileSPLAT.cpp — 32-byte gaussians; color
+        via SH DC + sigmoid opacity, quats at (q+1)*128 wxyz)"""
+        import numpy as np
+
+        from open3d_tpu.geometry.pointcloud import PointCloud
+        from open3d_tpu.io import read_point_cloud, write_point_cloud
+
+        rng = np.random.default_rng(0)
+        n = 64
+        pos = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        f_dc = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        opacity = rng.uniform(-3, 3, (n, 1)).astype(np.float32)
+        scale = rng.uniform(0.01, 0.2, (n, 3)).astype(np.float32)
+        q = rng.normal(size=(n, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q[q[:, 0] < 0] *= -1  # canonical hemisphere (u8 roundtrip sign)
+        pcd = PointCloud.create(
+            jnp.asarray(pos), f_dc=jnp.asarray(f_dc),
+            opacity=jnp.asarray(opacity), scale=jnp.asarray(scale),
+            rot=jnp.asarray(q),
+        )
+        p = str(tmp_path / "g.splat")
+        write_point_cloud(p, pcd)
+        assert (tmp_path / "g.splat").stat().st_size == 32 * n
+        back = read_point_cloud(p)
+        assert int(back.count()) == n
+        # the writer reorders by volume*opacity; positions roundtrip as
+        # exact f32, so align the two sets through their position order
+        bpos = np.asarray(back.positions)
+        oa = np.lexsort(pos.T)
+        ob = np.lexsort(bpos.T)
+        np.testing.assert_allclose(bpos[ob], pos[oa], atol=0.0)
+        # scales exact f32; opacity/color/rot quantized to 8 bits
+        np.testing.assert_allclose(
+            np.asarray(back.attrs["scale"])[ob], scale[oa], atol=0.0
+        )
+        sig_in = 1 / (1 + np.exp(-opacity.reshape(-1)[oa]))
+        sig_out = 1 / (1 + np.exp(-np.asarray(back.attrs["opacity"]).reshape(-1)[ob]))
+        np.testing.assert_allclose(sig_out, sig_in, atol=1.0 / 255)
+        qr = np.asarray(back.attrs["rot"])[ob]
+        np.testing.assert_allclose(qr, q[oa], atol=0.02)
