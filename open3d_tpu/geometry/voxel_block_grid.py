@@ -569,19 +569,37 @@ def estimate_range(
 
     Blocks whose projected footprint exceeds the static cap (or that
     straddle the camera plane) widen a GLOBAL fallback range applied to
-    every tile — conservative, never misses surface. Returns
+    every tile — conservative, never misses surface. All active slots are
+    scanned for visibility; only frustum-visible blocks enter the
+    `active_capacity` working set, and working-set OVERFLOW widens the
+    global fallback to the full depth range instead of silently dropping
+    blocks (the round-3 16384-cap hole class). Returns
     (z_min (TH, TW), z_max (TH, TW)) with z_min > z_max meaning 'empty'."""
+    from open3d_tpu.core.masking import compact_indices
+
     TH = -(-intrinsic.height // tile)
     TW = -(-intrinsic.width // tile)
-    slots, count = hm.active_slots(vbg.table, active_capacity)
-    live = jnp.arange(active_capacity) < count
-    keys = vbg.table[jnp.maximum(slots, 0)]
-    coords = hm.unpack_coords(keys)  # (A, 3)
-
-    corners = _CORNER_OFFSETS.astype(jnp.float32) * vbg.block_size  # (8, 3)
-    pw = coords.astype(jnp.float32)[:, None, :] * vbg.block_size + corners
     R = extrinsic[:3, :3]
     t = extrinsic[:3, 3]
+    corners = _CORNER_OFFSETS.astype(jnp.float32) * vbg.block_size  # (8, 3)
+
+    occ = hm.occupied_mask(vbg.table)
+    all_coords = hm.unpack_coords(vbg.table)
+    z_all = (
+        all_coords.astype(jnp.float32)[:, None, :] * vbg.block_size + corners
+    ) @ R.T[:, 2:3] + t[2]
+    z_all = z_all[..., 0]
+    vis_all = occ & (jnp.max(z_all, axis=-1) > depth_min) & (
+        jnp.min(z_all, axis=-1) < depth_max
+    )
+    A = active_capacity
+    vidx, vcount = compact_indices(vis_all, A)
+    overflowed = vcount > A
+    live = jnp.arange(A) < jnp.minimum(vcount, A)
+    keys = vbg.table[jnp.maximum(vidx, 0)]
+    coords = hm.unpack_coords(keys)  # (A, 3)
+
+    pw = coords.astype(jnp.float32)[:, None, :] * vbg.block_size + corners
     pc = pw @ R.T + t  # (A, 8, 3)
     z = pc[..., 2]
     zsafe = jnp.maximum(z, 1e-6)
@@ -614,7 +632,7 @@ def estimate_range(
     # fallback: visible blocks that don't fit (huge footprint / behind-plane)
     fb = vis & front & ~fits & on
     fb_part = vis & live & ~front  # straddles camera plane: unknown footprint
-    any_fb = jnp.any(fb | fb_part)
+    any_fb = jnp.any(fb | fb_part) | overflowed
     g_zmin = jnp.where(
         any_fb,
         jnp.min(jnp.where(fb | fb_part, jnp.maximum(z0, depth_min), jnp.inf)),
@@ -623,6 +641,10 @@ def estimate_range(
     g_zmax = jnp.where(
         any_fb, jnp.max(jnp.where(fb | fb_part, jnp.minimum(z1, depth_max), -jnp.inf)), -jnp.inf
     )
+    # working-set overflow: unseen blocks could be anywhere in range —
+    # widen conservatively rather than leave holes
+    g_zmin = jnp.where(overflowed, jnp.float32(depth_min), g_zmin)
+    g_zmax = jnp.where(overflowed, jnp.float32(depth_max), g_zmax)
 
     n_tiles = TH * TW
     kk = jnp.arange(K, dtype=jnp.int32)

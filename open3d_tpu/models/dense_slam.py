@@ -93,6 +93,11 @@ class FrameResult(NamedTuple):
 
 
 def create_model(config: SLAMConfig = SLAMConfig(), T_init: Optional[jnp.ndarray] = None) -> SLAMModel:
+    if config.model_raycast_stride not in (1, 2, 4, 8):
+        raise ValueError(
+            "model_raycast_stride must be a power of two in {1,2,4,8}: the "
+            "tracking input downsamples through halving pyrdown levels"
+        )
     vbg = vbg_mod.create(
         voxel_size=config.voxel_size,
         block_resolution=config.block_resolution,

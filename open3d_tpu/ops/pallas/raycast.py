@@ -63,7 +63,7 @@ def build_tile_lists(
     depth_min: float,
     depth_max: float,
     tile: int = 16,
-    K: int = 16,
+    K: int = 24,
     G: int = 8,
     visible_capacity: int = 2048,
 ):
@@ -253,7 +253,11 @@ def _march_kernel(
     TK = pl.num_programs(0) * K
 
     def pair_idx(k):
-        return jnp.where(k < nk, t * K + k, TK + (k - nk))
+        # extras FIRST: they straddle the camera plane (nearest possible
+        # hits), and the all-done early exit must see them before it can
+        # conclude a ray is resolved; the sorted per-tile list follows
+        # front-to-back.
+        return jnp.where(k < nex, TK + k, t * K + (k - nex))
 
     # start all candidate DMAs up front (parallel issue hides HBM latency)
     def dma_body(k, _):

@@ -300,7 +300,10 @@ def orient_normals_consistent_tangent_plane(
     sign0 = jnp.zeros((N,), jnp.float32).at[seed].set(seed_sign)
 
     if max_sweeps is None:
-        max_sweeps = int(4 * (N ** 0.5)) + 64
+        # the kNN graph's diameter is Theta(N/k) on elongated clouds (a
+        # corridor scan) — bound by N so the wavefront always spans it;
+        # the while_loop stops at the first no-change sweep anyway
+        max_sweeps = N
 
     def cond(state):
         sign, changed, it = state
@@ -439,25 +442,31 @@ def pca_partition(pcd: PointCloud, max_points: int):
     TPU design: the reference splits the LARGEST partition first through a
     priority queue (sequential). Here EVERY oversize partition splits each
     round (mean/cov via segment sums, vmapped 3x3 eigh, split at the
-    mid-extent along the principal axis — the same center rule), reaching
-    the same invariant in ceil(log2(N / max_points)) + 1 vectorized
-    rounds; ids are compacted densely at the end. Returns
-    (num_partitions (), partition_ids (N,) int32, -1 on invalid points).
+    mid-extent along the principal axis — the same center rule), and ids
+    re-compact densely after every round, so the loop runs until NO
+    partition is oversize (mid-extent splits can be arbitrarily uneven on
+    clustered data — a fixed log2 round count violated the invariant).
+    Returns (num_partitions (), partition_ids (N,) int32, -1 invalid).
     """
-    import math
-
     N = pcd.capacity
     pos = pcd.positions
     mask = pcd.mask
     w = mask.astype(jnp.float32)
-    rounds = max(
-        int(math.ceil(math.log2(max(N / max(max_points, 1), 1.0)))) + 1, 1
-    )
-    P = 2 ** rounds  # id space after all rounds
+    P = N  # dense ids stay < N after each round's compaction
 
-    ids0 = jnp.zeros((N,), jnp.int32)
+    def compact(ids):
+        big_id = jnp.int32(2**30)
+        key = jnp.where(mask, ids, big_id)
+        uniq = jnp.sort(key)
+        first = jnp.concatenate([jnp.ones((1,), bool), uniq[1:] != uniq[:-1]])
+        valid_first = first & (uniq < big_id)
+        n_parts = jnp.sum(valid_first.astype(jnp.int32))
+        roots = jnp.sort(jnp.where(valid_first, uniq, big_id))
+        rank = jnp.searchsorted(roots, key).astype(jnp.int32)
+        return jnp.where(mask, rank, 0), n_parts
 
-    def round_body(ids, _):
+    def round_body(state):
+        ids, _, it = state
         cnt = jax.ops.segment_sum(w, ids, num_segments=P)
         sx = jax.ops.segment_sum(pos * w[:, None], ids, num_segments=P)
         mean = sx / jnp.maximum(cnt, 1.0)[:, None]
@@ -479,21 +488,21 @@ def pca_partition(pcd: PointCloud, max_points: int):
         center = 0.5 * (dmin + dmax)
         oversize = cnt > max_points
         split = oversize[ids] & mask
+        # splitting partition i -> {2i, 2i+1} in a doubled id space, then
+        # re-compacted to dense ids (so ids never exceed N)
         new_ids = jnp.where(
             split, 2 * ids + (dot >= center[ids]).astype(jnp.int32), 2 * ids
         )
-        return new_ids, None
+        new_ids, n_parts = compact(new_ids)
+        cnt2 = jax.ops.segment_sum(w, new_ids, num_segments=P)
+        return new_ids, jnp.any(cnt2 > max_points), it + 1
 
-    ids, _ = jax.lax.scan(round_body, ids0, None, length=rounds)
-    # compact ids to 0..K-1 (invalid points -> -1)
-    big_id = jnp.int32(2**30)
-    key = jnp.where(mask, ids, big_id)
-    uniq = jnp.sort(key)
-    first = jnp.concatenate([jnp.ones((1,), bool), uniq[1:] != uniq[:-1]])
-    valid_first = first & (uniq < big_id)
-    n_parts = jnp.sum(valid_first.astype(jnp.int32))
-    roots = jnp.where(valid_first, uniq, big_id)
-    roots = jnp.sort(roots)
-    rank = jnp.searchsorted(roots, key)
-    out = jnp.where(mask, rank.astype(jnp.int32), -1)
-    return n_parts, out
+    ids0, _ = compact(jnp.zeros((N,), jnp.int32))
+    any_oversize0 = jnp.sum(w) > max_points
+    ids, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < N),
+        round_body,
+        (ids0, any_oversize0, jnp.int32(0)),
+    )
+    out, n_parts = compact(ids)
+    return n_parts, jnp.where(mask, out, -1)

@@ -331,9 +331,21 @@ def detect_planar_patches(
     pj = pos[safe]
     cos_n = jnp.cos(jnp.deg2rad(normal_variance_threshold_deg))
     ndot = jnp.abs(jnp.einsum("ni,nki->nk", nrm, nj))
-    d_ij = jnp.abs(jnp.einsum("ni,nki->nk", nrm, pj - pos[:, None, :]))
-    d_ji = jnp.abs(jnp.einsum("nki,nki->nk", nj, pos[:, None, :] - pj))
-    edge = ok & (ndot > cos_n) & (d_ij < distance_threshold) & (d_ji < distance_threshold)
+    dvec = pj - pos[:, None, :]
+    dlen = jnp.linalg.norm(dvec, axis=-1)
+    d_ij = jnp.abs(jnp.einsum("ni,nki->nk", nrm, dvec))
+    d_ji = jnp.abs(jnp.einsum("nki,nki->nk", nj, -dvec))
+    # coplanarity (ref: the planarity angle test in
+    # PointCloudPlanarPatchDetection.cpp): the displacement must lie within
+    # `coplanarity_deg` of each endpoint's tangent plane, i.e.
+    # |n . d| <= |d| * cos(coplanarity_deg); plus the absolute
+    # plane-distance gate
+    cos_c = jnp.cos(jnp.deg2rad(coplanarity_deg))
+    edge = (
+        ok & (ndot > cos_n)
+        & (d_ij < distance_threshold) & (d_ji < distance_threshold)
+        & (d_ij <= dlen * cos_c) & (d_ji <= dlen * cos_c)
+    )
 
     labels0 = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), _INT_BIG)
 

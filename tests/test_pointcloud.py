@@ -203,3 +203,20 @@ class TestExtrudePartition:
         for k in range(n):
             ext = float(np.ptp(pts[ids == k][:, 0]))
             assert ext < 10.0 * 0.7
+
+    def test_pca_partition_clustered_data_invariant(self):
+        """Review finding (round 4): mid-extent splits are arbitrarily
+        uneven on clustered data — a fixed log2 round count left a 57-point
+        partition at max_points=8. The loop must run until the invariant
+        holds."""
+        import numpy as np
+
+        rng = np.random.default_rng(1)
+        tight = rng.normal(0, 0.001, (250, 3)).astype(np.float32)
+        spread = rng.uniform(-5, 5, (6, 3)).astype(np.float32)
+        pcd = PointCloud.create(jnp.asarray(np.concatenate([tight, spread])))
+        n_parts, ids = pc_ops.pca_partition(pcd, max_points=8)
+        ids = np.asarray(ids)
+        sizes = np.bincount(ids[ids >= 0])
+        assert sizes.max() <= 8, sizes.max()
+        assert int(n_parts) == sizes.size
