@@ -20,6 +20,20 @@ SYNC NOTE: on the axon TPU tunnel `block_until_ready` can return before
 execution finishes (round-2's 1873 fps integration number was dispatch
 rate, not compute — measured honestly it was ~8 fps). Every timing below
 drains the pipe by pulling a scalar reduction of the result to the host.
+
+WHERE THE INTEGRATION TIME GOES (round-4 ablations, v5e): the fused
+Pallas kernel is op-count-bound, not flop- or bandwidth-bound. Per
+touched block (~600/frame): ~11 us of lane dynamic_gathers (the
+hardware's scattered-read path — one (2048, 128) gather per plane per
+chunk; bf16 gather inputs are unsupported, m-batched selects measured
+SLOWER), ~10-15 us building the exact bf16 relayout operands, ~4 us of
+one-hot MXU sampling matmuls, ~5 us projection math, ~4 us grid-step
+fixed cost. A GTX 1070 reaches ~100 Hz because its per-thread scattered
+reads run at full memory parallelism — the structural gap this design
+pays for with one-hot matmul + gather machinery. Round 2 -> 4 moved the
+honest number 8 -> ~32 fps; the remaining 3x to the 1.5x-of-reference
+target needs either a Mosaic-level scattered-read primitive or a
+different data layout, not more op shaving.
 """
 
 import json
