@@ -139,6 +139,25 @@ class TriangleMesh:
         pts = w0[:, None] * a[tid] + w1[:, None] * b[tid] + w2[:, None] * c[tid]
         return PointCloud.create(pts, mask=self.triangle_mask[tid])
 
+    def sample_points_poisson_disk(
+        self, number_of_points: int, init_factor: int = 5, key=None
+    ) -> PointCloud:
+        """Blue-noise-ish surface sampling (ref:
+        TriangleMesh::SamplePointsPoissonDisk,
+        geometry/TriangleMeshFactory... legacy SamplePointsPoissonDisk —
+        Yuksel sample elimination). The reference eliminates samples
+        through a sequential weight heap; here `init_factor *
+        number_of_points` uniform samples are thinned by farthest-point
+        selection — the same oversample-then-eliminate shape with a
+        data-parallel eliminator (FPS maximizes minimum pairwise distance,
+        the Poisson-disk property)."""
+        from open3d_tpu.ops import pointcloud as _pc_ops
+
+        dense = self.sample_points_uniformly(
+            init_factor * number_of_points, key=key
+        )
+        return _pc_ops.farthest_point_down_sample(dense, number_of_points)
+
     def get_min_bound(self) -> jnp.ndarray:
         v = jnp.where(self.vertex_mask[:, None], self.vertices, jnp.inf)
         return jnp.min(v, axis=0)

@@ -163,3 +163,25 @@ class TestExtractTriangleMesh:
         vbg = vbg_mod.integrate(vbg, keys, depths[0], colors[0], intr, extrinsics[0], depth_max=4.0)
         mesh = vbg_mod.extract_triangle_mesh(vbg, triangle_capacity=64, weight_threshold=0.5)
         assert int(mesh.num_triangles()) <= 64
+
+
+def test_sample_points_poisson_disk_spacing():
+    """(ref: TriangleMesh::SamplePointsPoissonDisk) — the eliminated set
+    must be better spaced than a uniform sample of the same size."""
+    mesh = _unit_quad()
+    n = 100
+    pd = mesh.sample_points_poisson_disk(n, key=jax.random.PRNGKey(0))
+    un = mesh.sample_points_uniformly(n, key=jax.random.PRNGKey(0))
+
+    def min_nn_dist(pcd):
+        p = np.asarray(pcd.positions)[np.asarray(pcd.mask)]
+        d = np.linalg.norm(p[:, None] - p[None, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        return d.min(axis=1)
+
+    dpd = min_nn_dist(pd)
+    dun = min_nn_dist(un)
+    assert int(pd.count()) == n
+    # Poisson-disk property: larger minimum spacing, tighter distribution
+    assert dpd.min() > 2.0 * dun.min()
+    assert dpd.mean() > dun.mean()
