@@ -70,6 +70,96 @@ def subdivide_midpoint(mesh: TriangleMesh, number_of_iterations: int = 1) -> Tri
     return mesh
 
 
+def subdivide_loop(mesh: TriangleMesh, number_of_iterations: int = 1) -> TriangleMesh:
+    """Loop (1:4 smoothing) subdivision (ref: TriangleMesh::SubdivideLoop,
+    geometry/TriangleMeshSubdivide.cpp). Same sorted-edge-key dedup as
+    subdivide_midpoint for the topology; positions follow Loop's masks:
+    interior edge points 3/8(a+b) + 1/8(opposites), boundary edge points
+    (a+b)/2, interior vertices (1 - n b) v + b sum(neighbors) with
+    b = (5/8 - (3/8 + cos(2 pi / n)/4)^2)/n, boundary vertices
+    3/4 v + 1/8 (boundary neighbors)."""
+    for _ in range(number_of_iterations):
+        v = mesh.vertices
+        t = jnp.maximum(mesh.triangles, 0)
+        tm = mesh.triangle_mask
+        V = v.shape[0]
+        T = t.shape[0]
+        e = jnp.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]], 0)
+        opp = jnp.concatenate([t[:, 2], t[:, 0], t[:, 1]], 0)  # (3T,)
+        live3 = jnp.tile(tm, 3)
+        e = jnp.sort(e, axis=1)
+        n3 = e.shape[0]
+        s0, s1, perm = jax.lax.sort(
+            (e[:, 0], e[:, 1], jnp.arange(n3, dtype=jnp.int32)), num_keys=2
+        )
+        first = jnp.concatenate(
+            [jnp.array([True]), (s0[1:] != s0[:-1]) | (s1[1:] != s1[:-1])]
+        )
+        gid = jnp.cumsum(first.astype(jnp.int32)) - 1
+        inv = jnp.zeros((n3,), jnp.int32).at[perm].set(gid)
+        ea = jnp.zeros((n3,), jnp.int32).at[gid].set(s0)
+        eb = jnp.zeros((n3,), jnp.int32).at[gid].set(s1)
+        # per unique edge: live-adjacent-face count + opposite-vertex sum
+        wl = live3.astype(jnp.float32)
+        cnt = jnp.zeros((n3,), jnp.float32).at[inv].add(wl)
+        opp_sum = jnp.zeros((n3, 3), jnp.float32).at[inv].add(
+            v[opp] * wl[:, None]
+        )
+        va = v[jnp.clip(ea, 0, V - 1)]
+        vb = v[jnp.clip(eb, 0, V - 1)]
+        interior = cnt >= 2.0
+        mids = jnp.where(
+            interior[:, None],
+            0.375 * (va + vb) + 0.125 * opp_sum,
+            0.5 * (va + vb),
+        )
+        edge_live = cnt >= 1.0
+
+        # original-vertex smoothing over the unique live-edge graph
+        elw = edge_live.astype(jnp.float32)
+        bnd = (cnt == 1.0).astype(jnp.float32)
+        nb_sum = (
+            jnp.zeros((V, 3), jnp.float32)
+            .at[ea].add(vb * elw[:, None])
+            .at[eb].add(va * elw[:, None])
+        )
+        val = (
+            jnp.zeros((V,), jnp.float32).at[ea].add(elw).at[eb].add(elw)
+        )
+        bnd_sum = (
+            jnp.zeros((V, 3), jnp.float32)
+            .at[ea].add(vb * bnd[:, None])
+            .at[eb].add(va * bnd[:, None])
+        )
+        bnd_cnt = jnp.zeros((V,), jnp.float32).at[ea].add(bnd).at[eb].add(bnd)
+        n = jnp.maximum(val, 1.0)
+        beta = (0.625 - (0.375 + 0.25 * jnp.cos(2.0 * jnp.pi / n)) ** 2) / n
+        v_int = (1.0 - n * beta)[:, None] * v + beta[:, None] * nb_sum
+        v_bnd = 0.75 * v + 0.125 * bnd_sum
+        v_new = jnp.where((bnd_cnt > 0.0)[:, None], v_bnd, v_int)
+        v_new = jnp.where((val > 0.0)[:, None], v_new, v)
+        v_new = jnp.where(mesh.vertex_mask[:, None], v_new, v)
+
+        new_v = jnp.concatenate([v_new, mids], 0)
+        m01 = V + inv[:T]
+        m12 = V + inv[T:2 * T]
+        m20 = V + inv[2 * T:]
+        t0, t1, t2 = t[:, 0], t[:, 1], t[:, 2]
+        new_t = jnp.concatenate(
+            [
+                jnp.stack([t0, m01, m20], -1),
+                jnp.stack([m01, t1, m12], -1),
+                jnp.stack([m20, m12, t2], -1),
+                jnp.stack([m01, m12, m20], -1),
+            ],
+            0,
+        ).astype(jnp.int32)
+        vmask = jnp.concatenate([mesh.vertex_mask, edge_live])
+        tmask = jnp.tile(tm, 4)
+        mesh = TriangleMesh.create(new_v, new_t, vertex_mask=vmask, triangle_mask=tmask)
+    return mesh
+
+
 def simplify_vertex_clustering(mesh: TriangleMesh, voxel_size: float) -> TriangleMesh:
     """Vertex-clustering simplification (ref:
     TriangleMesh::SimplifyVertexClustering,

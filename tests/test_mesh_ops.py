@@ -70,3 +70,41 @@ def test_laplacian_and_taubin_smoothing():
     # taubin preserves extent better than pure laplacian
     ext_t = np.ptp(np.asarray(tb.vertices)[:, 0])
     assert ext_t > 0.9
+
+
+def test_subdivide_loop_smooths_toward_sphere():
+    """(ref: TriangleMesh::SubdivideLoop, TriangleMeshSubdivide.cpp) —
+    Loop subdivision of an octahedron converges toward a sphere: counts
+    quadruple, surface stays closed, and the vertex-radius spread shrinks
+    vs plain midpoint subdivision."""
+    import numpy as np
+
+    from open3d_tpu.geometry.trianglemesh import TriangleMesh
+    from open3d_tpu.ops import mesh as mo
+
+    v = jnp.asarray(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        jnp.float32,
+    )
+    t = jnp.asarray(
+        [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+         [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]],
+        jnp.int32,
+    )
+    mesh = TriangleMesh.create(v, t)
+    loop2 = mo.subdivide_loop(mesh, 2)
+    mid2 = mo.subdivide_midpoint(mesh, 2)
+    assert int(loop2.num_triangles()) == 8 * 16
+    # closed surface: Euler characteristic 2 => V - E + F = 2 with E = 3F/2
+    nv = int(loop2.num_vertices())
+    nf = int(loop2.num_triangles())
+    assert nv - (3 * nf) // 2 + nf == 2
+    rl = np.linalg.norm(
+        np.asarray(loop2.vertices)[np.asarray(loop2.vertex_mask)], axis=1
+    )
+    rm = np.linalg.norm(
+        np.asarray(mid2.vertices)[np.asarray(mid2.vertex_mask)], axis=1
+    )
+    assert rl.std() / rl.mean() < 0.5 * (rm.std() / rm.mean())
+    # smoothing shrinks strictly inside the original octahedron
+    assert rl.max() < 1.0 + 1e-5
