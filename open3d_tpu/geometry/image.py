@@ -286,3 +286,22 @@ def build_normal_pyramid(normals, levels: int):
         norm = jnp.linalg.norm(m, axis=-1, keepdims=True)
         pyr.append(jnp.where(norm > 0.3, m / jnp.maximum(norm, 1e-9), 0.0))
     return pyr
+
+
+def linear_transform(img, scale: float = 1.0, offset: float = 0.0):
+    """img * scale + offset (ref: Image::LinearTransform, Image.h:161)."""
+    return img * scale + offset
+
+
+def dilate(img, kernel_size: int = 3):
+    """Grayscale dilation: max over the kernel_size window per channel
+    (ref: Image::Dilate, Image.h:196 / kernel/Image*). Static-shift max
+    stencil — the same idiom as erode_mask/filter_gaussian."""
+    r = kernel_size // 2
+    out = img
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy == 0 and dx == 0:
+                continue
+            out = jnp.maximum(out, _shift2d(img, dy, dx, fill=-jnp.inf))
+    return jnp.where(jnp.isfinite(out), out, img)
