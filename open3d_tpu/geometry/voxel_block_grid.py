@@ -89,6 +89,19 @@ def unpack_rgb(c: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([r, g, b], axis=-1)
 
 
+def payload_shape(B3: int):
+    """Native (rows, lanes) payload tiling for one block's B^3 voxels.
+
+    (32, 128) for 16^3. The payload is stored 3-D — (C+1, rows, lanes) —
+    because the Pallas integrate/raycast kernels address whole rows of the
+    TPU-native (sublane, lane) tiling by DMA; a (C+1, B3) 2-D storage
+    would force XLA to physically re-tile the full grid (measured 3.4 ms
+    per reshape of a 40960-block grid on v5e) on every kernel call."""
+    if B3 % 128 == 0:
+        return (B3 // 128, 128)
+    return (1, B3)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["table", "tw", "color"],
@@ -97,8 +110,8 @@ def unpack_rgb(c: jnp.ndarray) -> jnp.ndarray:
 @dataclasses.dataclass(frozen=True)
 class VoxelBlockGrid:
     table: jnp.ndarray  # (C, 2) int32 packed block keys (see core/hashmap)
-    tw: jnp.ndarray  # (C + 1, B^3) i32 {tsdf s1.14 fixed | weight u16}; row C = dump
-    color: jnp.ndarray  # (C + 1, B^3) i32 {R11|G11|B10} ((C+1, 0) if no color)
+    tw: jnp.ndarray  # (C + 1, R, L) i32 {tsdf s1.14 | weight u16}; row C = dump
+    color: jnp.ndarray  # (C + 1, R, L) i32 {R11|G11|B10} ((C+1, 0, 0) if none)
     voxel_size: float
     block_resolution: int
     sdf_trunc: float
@@ -115,15 +128,24 @@ class VoxelBlockGrid:
     def has_color(self) -> bool:
         return self.color.shape[1] > 0
 
+    @property
+    def tw_flat(self) -> jnp.ndarray:
+        """(C+1, B^3) view (re-tiling copy on TPU — keep off hot paths)."""
+        return self.tw.reshape(self.tw.shape[0], -1)
+
+    @property
+    def color_flat(self) -> jnp.ndarray:
+        return self.color.reshape(self.color.shape[0], -1)
+
     def num_active_blocks(self) -> jnp.ndarray:
         return jnp.sum(hm.occupied_mask(self.table).astype(jnp.int32))
 
     # convenience views (f32), mainly for tests / IO round-trips
     def tsdf_weight(self):
-        return unpack_tw(self.tw)
+        return unpack_tw(self.tw_flat)
 
     def color_f32(self):
-        return unpack_rgb(self.color)
+        return unpack_rgb(self.color_flat)
 
 
 def create(
@@ -138,10 +160,11 @@ def create(
     common configs use 4-8 voxels; we default 4)."""
     B3 = block_resolution**3
     C = block_count
+    R, L = payload_shape(B3)
     return VoxelBlockGrid(
         table=hm.make_table(C),
-        tw=jnp.zeros((C + 1, B3), jnp.int32),
-        color=jnp.zeros((C + 1, B3 if with_color else 0), jnp.int32),
+        tw=jnp.zeros((C + 1, R, L), jnp.int32),
+        color=jnp.zeros((C + 1, R, L) if with_color else (C + 1, 0, 0), jnp.int32),
         voxel_size=float(voxel_size),
         block_resolution=int(block_resolution),
         sdf_trunc=float(sdf_trunc if sdf_trunc is not None else 4.0 * voxel_size),
@@ -225,10 +248,26 @@ def _new_voxel_values(
 
     R = extrinsic[:3, :3]
     t = extrinsic[:3, 3]
-    pc = pw @ R.T + t  # camera frame
-    z = pc[..., 2]
-    u = pc[..., 0] / jnp.maximum(z, 1e-6) * intrinsic.fx + intrinsic.cx
-    v = pc[..., 1] / jnp.maximum(z, 1e-6) * intrinsic.fy + intrinsic.cy
+    from open3d_tpu.core.platform import is_tpu
+
+    if is_tpu():
+        # explicit elementwise projection, in the same op order as the
+        # Pallas kernel: on TPU a (..., 3) @ (3, 3) dot runs at the default
+        # one-pass-bf16 matmul precision, which costs ~5e-3 of voxels their
+        # correct keep decision (measured vs f64 ground truth); the
+        # matching order also makes half-pixel rounding ties agree with
+        # the kernel bit-for-bit (measured 0.0 weight diffs on chip)
+        px, py, pz = pw[..., 0], pw[..., 1], pw[..., 2]
+        xc = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]
+        yc = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]
+        z = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
+    else:
+        # CPU: the f32 dot is exact and breaks half-pixel ties identically
+        # to the interpreted kernel (the explicit form does not)
+        pc = pw @ R.T + t
+        xc, yc, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    u = xc / jnp.maximum(z, 1e-6) * intrinsic.fx + intrinsic.cx
+    v = yc / jnp.maximum(z, 1e-6) * intrinsic.fy + intrinsic.cy
     ui = jnp.round(u).astype(jnp.int32)
     vi = jnp.round(v).astype(jnp.int32)
     Wd = intrinsic.width
@@ -252,8 +291,15 @@ def _new_voxel_values(
 def _fuse_xla(vbg, rows, tsdf_new, wn, cnew, weight_max):
     """Portable fuse path: gather rows, weighted-mean, scatter rows back.
     Used on CPU (tests) and as the reference implementation for the Pallas
-    kernel in ops/pallas/tsdf.py."""
+    kernel in ops/pallas/tsdf.py. The (M, B3) new-value arrays are reshaped
+    to the native (M, R, L) payload tiling (cheap: M is the small per-frame
+    work list, not the grid capacity)."""
     C = vbg.capacity
+    R, L = vbg.tw.shape[1:]
+    tsdf_new = tsdf_new.reshape(-1, R, L)
+    wn = wn.reshape(-1, R, L)
+    if cnew is not None:
+        cnew = cnew.reshape(-1, R, L)
     old_t, old_w = unpack_tw(vbg.tw[rows])
     w_sum = old_w + wn
     fused_t = jnp.where(
@@ -315,14 +361,43 @@ def integrate(
     vbg = dataclasses.replace(vbg, table=table)
 
     if use_pallas and vbg.block_resolution == 16:
+        import os
+
         from open3d_tpu.ops.pallas import integrate as pint
 
+        if os.environ.get("O3DTPU_INTEGRATE_V1"):
+            # legacy kernel works on the flat 2-D payload view (pays the
+            # re-tiling copies; kept only for A/B comparison)
+            def integrate_fn(tw3, col3, *args, **kw):
+                tw2, col2 = pint.integrate_blocks(
+                    tw3.reshape(tw3.shape[0], -1),
+                    col3.reshape(col3.shape[0], -1),
+                    *args,
+                    **kw,
+                )
+                return tw2.reshape(tw3.shape), col2.reshape(col3.shape)
+
+            planes_fn = lambda: pint.prepare_planes(depth, color, vbg.has_color)
+        else:
+            from open3d_tpu.ops.pallas import integrate2 as pint2
+
+            integrate_fn = pint2.integrate_blocks_v2
+            planes_fn = lambda: pint2.prepare_planes_v2(
+                depth, color, vbg.has_color, depth_max
+            )
+
         coords = hm.unpack_coords(block_keys)
+        if os.environ.get("O3DTPU_INTEGRATE_V1"):
+            fit_kw = {}
+        else:
+            from open3d_tpu.ops.pallas import integrate2 as _p2
+
+            fit_kw = {"valign": _p2._VALIGN, "vwin": _p2._VWIN}
         v0, u0, shift, fit = pint.block_slab_fit(
-            coords, intrinsic, extrinsic, vbg.voxel_size
+            coords, intrinsic, extrinsic, vbg.voxel_size, **fit_kw
         )
-        planes = pint.prepare_planes(depth, color, vbg.has_color)
-        tw, color_arr = pint.integrate_blocks(
+        planes = planes_fn()
+        tw, color_arr = integrate_fn(
             vbg.tw,
             vbg.color,
             rows,
@@ -369,16 +444,16 @@ def integrate(
         from open3d_tpu.ops.pallas.tsdf import fuse_blocks
 
         tw, color_arr = fuse_blocks(
-            vbg.tw, vbg.color if cnew is not None else None,
+            vbg.tw_flat, vbg.color_flat if cnew is not None else None,
             rows, tsdf_new, wn, cnew, weight_max,
         )
         # restore the dump-row invariant (weight == 0 there; the kernel may
         # have scattered invalid blocks into it)
-        tw = tw.at[C].set(0)
+        tw = tw.at[C].set(0).reshape(vbg.tw.shape)
         if cnew is None:
             color_arr = vbg.color
         else:
-            color_arr = color_arr.at[C].set(0)
+            color_arr = color_arr.at[C].set(0).reshape(vbg.color.shape)
     else:
         tw, color_arr = _fuse_xla(vbg, rows, tsdf_new, wn, cnew, weight_max)
 
@@ -984,13 +1059,14 @@ def extract_point_cloud(
         wrapped = jnp.where(inside[:, None], nxt, nxt - e * B)
         flat = wrapped[:, 0] + wrapped[:, 1] * B + wrapped[:, 2] * B * B
         own = jnp.arange(C)
-        t_in, w_in = unpack_tw(vbg.tw[own[:, None], flat[None, :]])
-        t_out, w_out = unpack_tw(vbg.tw[nb_rows[:, None], flat[None, :]])
+        tw2d = vbg.tw_flat
+        t_in, w_in = unpack_tw(tw2d[own[:, None], flat[None, :]])
+        t_out, w_out = unpack_tw(tw2d[nb_rows[:, None], flat[None, :]])
         tn = jnp.where(inside[None, :], t_in, t_out)
         wn = jnp.where(inside[None, :], w_in, w_out)
         return tn, wn
 
-    t0, w0 = unpack_tw(vbg.tw[:C])
+    t0, w0 = unpack_tw(vbg.tw_flat[:C])
     points = []
     norms = []
     cols = []
@@ -1019,7 +1095,7 @@ def extract_point_cloud(
         norms.append(gnorm.reshape(-1, 3))
         masks.append(cross.reshape(-1))
         if vbg.has_color:
-            cols.append(unpack_rgb(vbg.color[:C]).reshape(-1, 3))
+            cols.append(unpack_rgb(vbg.color_flat[:C]).reshape(-1, 3))
 
     pts = jnp.concatenate(points, axis=0)
     nrm = jnp.concatenate(norms, axis=0)
@@ -1139,6 +1215,10 @@ def extract_triangle_mesh(
     # 8 neighbor-block rows per block: offset bit k set -> +1 in axis k
     nb_offsets = _CORNER_OFFSETS  # (8, 3) reuse: same bit layout
 
+    # flat 2-D payload views hoisted out of the chunk scan (one re-tiling)
+    tw2d = vbg.tw_flat
+    col2d = vbg.color_flat
+
     def chunk_triangles(rows):
         """rows (G,) -> tri_verts (M, 3, 3), tri_col (M, 3, 3), valid (M,),
         tri_keys (M, 3, 6) canonical (lo-corner, hi-corner) voxel ids."""
@@ -1156,9 +1236,9 @@ def extract_triangle_mesh(
         flat = wrapped[..., 0] + wrapped[..., 1] * B + wrapped[..., 2] * B * B  # (B3, 8)
         which = overflow[..., 0] + 2 * overflow[..., 1] + 4 * overflow[..., 2]  # (B3, 8)
         row_idx = nb_rows[:, which]  # (G, B3, 8)
-        tsdf_c, w_c = unpack_tw(vbg.tw[row_idx, flat[None]])  # (G, B3, 8)
+        tsdf_c, w_c = unpack_tw(tw2d[row_idx, flat[None]])  # (G, B3, 8)
         if has_color:
-            col_c = unpack_rgb(vbg.color[row_idx, flat[None]])  # (G, B3, 8, 3)
+            col_c = unpack_rgb(col2d[row_idx, flat[None]])  # (G, B3, 8, 3)
 
         corner_pos = (
             (bco[:, None, None, :] * B + nxt[None]).astype(jnp.float32) * vbg.voxel_size

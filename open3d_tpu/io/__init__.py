@@ -189,8 +189,9 @@ def write_voxel_block_grid(path: str, vbg) -> None:
     np.savez_compressed(
         path,
         table=np.asarray(vbg.table),
-        tw=np.asarray(vbg.tw),
-        color=np.asarray(vbg.color),
+        # stored flat (C+1, B^3) for schema stability across payload tilings
+        tw=np.asarray(vbg.tw).reshape(vbg.tw.shape[0], -1),
+        color=np.asarray(vbg.color).reshape(vbg.color.shape[0], -1),
         voxel_size=np.float64(vbg.voxel_size),
         block_resolution=np.int64(vbg.block_resolution),
         sdf_trunc=np.float64(vbg.sdf_trunc),
@@ -201,11 +202,18 @@ def read_voxel_block_grid(path: str):
     from open3d_tpu.geometry.voxel_block_grid import VoxelBlockGrid
     import jax.numpy as jnp
 
+    from open3d_tpu.geometry.voxel_block_grid import payload_shape
+
     d = np.load(path)
+    B3 = int(d["block_resolution"]) ** 3
+    R, L = payload_shape(B3)
+    C1 = d["tw"].shape[0]
+    col = d["color"]
+    col3 = col.reshape(C1, R, L) if col.size else col.reshape(C1, 0, 0)
     return VoxelBlockGrid(
         table=jnp.asarray(d["table"]),
-        tw=jnp.asarray(d["tw"]),
-        color=jnp.asarray(d["color"]),
+        tw=jnp.asarray(d["tw"].reshape(C1, R, L)),
+        color=jnp.asarray(col3),
         voxel_size=float(d["voxel_size"]),
         block_resolution=int(d["block_resolution"]),
         sdf_trunc=float(d["sdf_trunc"]),

@@ -299,16 +299,26 @@ def prepare_planes(depth: jnp.ndarray, color, with_color: bool):
     return both.reshape(2 * 5 * Hp, Wp)
 
 
-def block_slab_fit(coords, intrinsic, extrinsic, voxel_size, hp=None, wp=None):
+def block_slab_fit(
+    coords,
+    intrinsic,
+    extrinsic,
+    voxel_size,
+    hp=None,
+    wp=None,
+    valign: int = 16,
+    vwin: int = _SLAB_H,
+):
     """Per-block slab origin + plane-copy pick + fit flag (XLA prep).
 
     coords (M, 3) int32 block coords. Returns (v0, u0, shift, fit) int32
-    arrays: v0 16-aligned window top, u0 128-aligned window left IN THE
+    arrays: v0 valign-aligned window top, u0 128-aligned window left IN THE
     CHOSEN COPY's columns, shift in {0, 1} picking the original or the
     64-lane-shifted plane copy. fit==0 for blocks whose projected rect
-    exceeds the (128, 128) window in both copies or that straddle the
+    exceeds the (vwin, 128) window in both copies or that straddle the
     camera plane (handled by the caller's fallback). hp/wp: padded plane
-    dims (window clamp bounds); default = padded intrinsic dims."""
+    dims (window clamp bounds); default = padded intrinsic dims. The v2
+    int8-plane kernel uses valign=32 (int8 sublane tile), vwin=160."""
     bs = voxel_size * _B
     corners = jnp.asarray(
         [[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], jnp.float32
@@ -328,12 +338,12 @@ def block_slab_fit(coords, intrinsic, extrinsic, voxel_size, hp=None, wp=None):
     v_max = jnp.ceil(jnp.max(v, axis=-1)).astype(jnp.int32)
     H, W = intrinsic.height, intrinsic.width
     if hp is None:
-        hp = max(-(-H // 16) * 16, _SLAB_H)
+        hp = max(-(-H // valign) * valign, vwin)
     if wp is None:
         wp = max(-(-W // 128) * 128, 2 * _SLAB_W)
-    # vertical: align down to the bf16 tile; clamp inside the padded image
-    v0 = jnp.clip((v_min // 16) * 16, 0, hp - _SLAB_H)
-    fit_v = v_max - v0 < _SLAB_H
+    # vertical: align down to the sublane tile; clamp inside the padded image
+    v0 = jnp.clip((v_min // valign) * valign, 0, hp - vwin)
+    fit_v = v_max - v0 < vwin
     # horizontal: try the original copy (128-aligned origins), then the
     # 64-shifted copy (origins at 64 + 128k in image columns)
     uA = jnp.clip((u_min // 128) * 128, 0, wp - _SLAB_W)

@@ -435,7 +435,8 @@ def march_tiles(
     params = params.at[0, :9].set(R.T.reshape(-1))  # R^T row-major
     params = params.at[0, 9:12].set(origin)
 
-    tw3 = vbg.tw.reshape(C + 1, 32, 128)
+    assert vbg.tw.shape[1:] == (32, 128), "march kernel assumes 16^3 payload"
+    tw3 = vbg.tw  # native (C+1, 32, 128) payload tiling — no re-tiling copy
     rows = jnp.where(lists.rows >= 0, lists.rows, C).astype(jnp.int32)
 
     kern = functools.partial(
