@@ -332,7 +332,7 @@ def integrate(
     depth_scale: float = 1.0,
     weight_max: float = 10000.0,
     use_pallas: Optional[bool] = None,
-    fallback_capacity: int = 48,
+    fallback_capacity: int = 16,
 ) -> VoxelBlockGrid:
     """Fuse one depth (+color) frame (ref: VoxelBlockGrid::Integrate,
     .cpp:292-326; per-voxel kernel VoxelBlockGridImpl.h:153-304).
@@ -392,7 +392,13 @@ def integrate(
         else:
             from open3d_tpu.ops.pallas import integrate2 as _p2
 
-            fit_kw = {"valign": _p2._VALIGN, "vwin": _p2._VWIN}
+            hp, wp = _p2.plane_dims(intrinsic.height, intrinsic.width)
+            fit_kw = {
+                "valign": _p2._VALIGN,
+                "vwin": _p2._VWIN,
+                "hp": hp,
+                "wp": wp,
+            }
         v0, u0, shift, fit = pint.block_slab_fit(
             coords, intrinsic, extrinsic, vbg.voxel_size, **fit_kw
         )
@@ -418,13 +424,58 @@ def integrate(
             color_arr.at[C].set(0) if vbg.has_color else vbg.color
         ))
 
-        # XLA fallback for blocks the slab window can't cover (close-ups)
-        if fallback_capacity > 0:
-            from open3d_tpu.core.masking import compact_indices
+        from open3d_tpu.core.masking import compact_indices
 
-            valid_key = (block_keys[:, 0] != 0) | (block_keys[:, 1] != 0)
-            fb_mask = valid_key & ok & (fit == 0)
-            fb_idx, fb_count = compact_indices(fb_mask, fallback_capacity)
+        valid_key = (block_keys[:, 0] != 0) | (block_keys[:, 1] != 0)
+        unfit = valid_key & ok & (fit == 0)
+
+        if not os.environ.get("O3DTPU_INTEGRATE_V1"):
+            # big-window Pallas pass: near blocks whose footprint exceeds
+            # the (VWIN, 128) window, guaranteed-covered up to ~193x257 px
+            # (z >= ~0.45 m at TUM intrinsics)
+            v0b, u0b, shiftb, fitb = pint.block_slab_fit(
+                coords, intrinsic, extrinsic, vbg.voxel_size,
+                valign=_p2._VALIGN, vwin=_p2._VWIN_BIG, uwin=_p2._UWIN_BIG,
+                hp=hp, wp=wp,
+            )
+            big_mask = unfit & (fitb == 1)
+            BC = _p2._BIG_CAPACITY
+            b_idx, b_count = compact_indices(big_mask, BC)
+            b_live = jnp.arange(BC) < jnp.minimum(b_count, BC)
+            safe_b = jnp.maximum(b_idx, 0)
+            slots_b = jnp.where(b_live, rows[safe_b], C).astype(jnp.int32)
+            coords_b = jnp.where(b_live[:, None], coords[safe_b], 0)
+            tw, color_arr = _p2.integrate_blocks_v2(
+                vbg.tw,
+                vbg.color,
+                slots_b,
+                coords_b,
+                v0b[safe_b],
+                u0b[safe_b],
+                shiftb[safe_b],
+                jnp.where(b_live, fitb[safe_b], 0),
+                planes,
+                intrinsic,
+                extrinsic,
+                vbg.voxel_size,
+                vbg.sdf_trunc,
+                depth_max,
+                weight_max,
+                vwin=_p2._VWIN_BIG,
+                uwin=_p2._UWIN_BIG,
+                group=_p2._G_BIG,
+            )
+            vbg = dataclasses.replace(
+                vbg,
+                tw=tw.at[C].set(0),
+                color=color_arr.at[C].set(0) if vbg.has_color else vbg.color,
+            )
+            # anything still uncovered (z < ~0.45 m, or big-list overflow)
+            unfit = unfit & ~big_mask
+
+        # XLA fallback for the rare blocks no window covers
+        if fallback_capacity > 0:
+            fb_idx, fb_count = compact_indices(unfit, fallback_capacity)
             fb_live = jnp.arange(fallback_capacity) < fb_count
             safe_idx = jnp.maximum(fb_idx, 0)
             fb_keys = jnp.where(fb_live[:, None], block_keys[safe_idx], 0)

@@ -13,6 +13,8 @@ All ops keep the fixed-capacity mask idiom: outputs allocate static shapes
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -832,3 +834,205 @@ def bake_triangle_attr_textures(
         full = jnp.zeros((size, size, C), jnp.float32)
         out[name] = full.at[: bpr * P, : bpr * P].set(img)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Connectivity cleanup family (ref: geometry/TriangleMesh.h:117
+# ComputeAdjacencyList, :150 MergeCloseVertices, :442
+# ClusterConnectedTriangles; the reconstruction demos use CC clustering to
+# strip TSDF-mesh debris)
+# ---------------------------------------------------------------------------
+
+
+def _edge_groups(mesh: TriangleMesh):
+    """Canonical edge ids for every triangle edge: (3T,) int32 group id such
+    that coincident edges (same unordered vertex pair) share a group, plus
+    the owning triangle id per entry. Sort-based replacement for the
+    reference's unordered_map<Edge, list<Tri>>."""
+    tri = mesh.triangles
+    T = tri.shape[0]
+    a = jnp.stack([tri[:, 0], tri[:, 1], tri[:, 2]], axis=1)  # (T, 3)
+    b = jnp.stack([tri[:, 1], tri[:, 2], tri[:, 0]], axis=1)
+    lo = jnp.minimum(a, b).reshape(-1)
+    hi = jnp.maximum(a, b).reshape(-1)
+    valid = jnp.repeat(mesh.triangle_mask, 3)
+    BIG = jnp.int32(2**30)
+    lo = jnp.where(valid, lo, BIG)
+    hi = jnp.where(valid, hi, BIG)
+    owner = jnp.arange(3 * T, dtype=jnp.int32) // 3
+    lo_s, hi_s, owner_s = jax.lax.sort((lo, hi, owner), num_keys=2)
+    # group id = rank of first occurrence of each distinct (lo, hi) pair
+    newgrp = jnp.concatenate(
+        [jnp.ones((1,), bool), (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])]
+    )
+    gid_s = jnp.cumsum(newgrp.astype(jnp.int32)) - 1  # (3T,)
+    return gid_s, owner_s
+
+
+def cluster_connected_triangles(mesh: TriangleMesh, max_iterations: int = 512):
+    """Connected components over edge-adjacent triangles (ref:
+    TriangleMesh::ClusterConnectedTriangles, geometry/TriangleMesh.h:442 —
+    the reference BFS over an edge->triangles map is re-expressed as
+    min-label propagation through edge groups, the same fixed-point).
+
+    Returns (cluster_ids (T,) int32 with -1 for masked-out triangles,
+    n_clusters (), cluster_n_triangles (T,) count of the OWNING cluster per
+    triangle, cluster_area (T,) area of the owning cluster per triangle) —
+    per-triangle views of the reference's per-cluster vectors, which keeps
+    shapes static; unique per-cluster values can be read via np.unique.
+    Cluster ids are compacted to 0..k-1 in order of smallest member
+    triangle id (the reference's visit order)."""
+    tri = mesh.triangles
+    T = tri.shape[0]
+    gid_s, owner_s = _edge_groups(mesh)
+    n_groups = 3 * T
+
+    labels0 = jnp.where(
+        mesh.triangle_mask, jnp.arange(T, dtype=jnp.int32), jnp.int32(2**30)
+    )
+
+    def body(state):
+        labels, _, it = state
+        # edge group label = min over triangles sharing the edge
+        lab_s = labels[owner_s]
+        grp_min = jax.ops.segment_min(lab_s, gid_s, num_segments=n_groups)
+        # triangle label = min over its 3 edge groups
+        back = grp_min[gid_s]
+        new = jax.ops.segment_min(back, owner_s, num_segments=T)
+        new = jnp.minimum(labels, new)
+        changed = jnp.any(new != labels)
+        return new, changed, it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iterations)
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels0, jnp.bool_(True), jnp.int32(0))
+    )
+    labels = jnp.where(mesh.triangle_mask, labels, -1)
+
+    # compact ids: cluster root = its smallest triangle id (already the
+    # label); rank roots by id
+    is_root = mesh.triangle_mask & (labels == jnp.arange(T))
+    rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1
+    cluster_ids = jnp.where(mesh.triangle_mask, rank[jnp.maximum(labels, 0)], -1)
+
+    seg = jnp.where(mesh.triangle_mask, cluster_ids, T - 1)
+    ones = mesh.triangle_mask.astype(jnp.int32)
+    counts = jax.ops.segment_sum(ones, seg, num_segments=T)
+    v0 = mesh.vertices[tri[:, 0]]
+    v1 = mesh.vertices[tri[:, 1]]
+    v2 = mesh.vertices[tri[:, 2]]
+    area = 0.5 * jnp.linalg.norm(jnp.cross(v1 - v0, v2 - v0), axis=-1)
+    area = jnp.where(mesh.triangle_mask, area, 0.0)
+    areas = jax.ops.segment_sum(area, seg, num_segments=T)
+    n_clusters = jnp.sum(is_root.astype(jnp.int32))
+    per_tri_count = jnp.where(mesh.triangle_mask, counts[jnp.maximum(cluster_ids, 0)], 0)
+    per_tri_area = jnp.where(mesh.triangle_mask, areas[jnp.maximum(cluster_ids, 0)], 0.0)
+    return cluster_ids, n_clusters, per_tri_count, per_tri_area
+
+
+def remove_small_components(
+    mesh: TriangleMesh,
+    min_triangles: int = 0,
+    min_area: float = 0.0,
+) -> TriangleMesh:
+    """Drop connected components below a triangle-count or area threshold
+    (the reference reconstruction demos' debris filter: cluster, then mask
+    out small clusters)."""
+    _, _, per_tri_count, per_tri_area = cluster_connected_triangles(mesh)
+    keep = mesh.triangle_mask
+    if min_triangles > 0:
+        keep = keep & (per_tri_count >= min_triangles)
+    if min_area > 0.0:
+        keep = keep & (per_tri_area >= min_area)
+    return dataclasses.replace(mesh, triangle_mask=keep)
+
+
+def merge_close_vertices(mesh: TriangleMesh, eps: float) -> TriangleMesh:
+    """Merge vertices closer than ~eps (ref: TriangleMesh::MergeCloseVertices,
+    geometry/TriangleMesh.h:150). Grid-quantized variant: vertices falling in
+    the same eps-sized cell merge to their centroid (the reference's exact
+    radius search can additionally merge across-cell pairs up to eps apart;
+    for the mesh-repair use case the cell merge is the load-bearing part).
+    Triangles are remapped; collapsed (degenerate) triangles are masked."""
+    V = mesh.vertices.shape[0]
+    q = jnp.floor(mesh.vertices / max(eps, 1e-12)).astype(jnp.int32)
+    BIG = jnp.int32(2**30)
+    qx = jnp.where(mesh.vertex_mask, q[:, 0], BIG)
+    qy = jnp.where(mesh.vertex_mask, q[:, 1], BIG)
+    qz = jnp.where(mesh.vertex_mask, q[:, 2], BIG)
+    vid = jnp.arange(V, dtype=jnp.int32)
+    qx_s, qy_s, qz_s, order = jax.lax.sort((qx, qy, qz, vid), num_keys=3)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (qx_s[1:] != qx_s[:-1]) | (qy_s[1:] != qy_s[:-1]) | (qz_s[1:] != qz_s[:-1])]
+    )
+    gid_s = jnp.cumsum(first.astype(jnp.int32)) - 1
+    gid = jnp.zeros((V,), jnp.int32).at[order].set(gid_s)
+    # representative vertex = group centroid
+    w = mesh.vertex_mask.astype(jnp.float32)
+    vsum = jax.ops.segment_sum(mesh.vertices * w[:, None], gid, num_segments=V)
+    cnt = jax.ops.segment_sum(w, gid, num_segments=V)
+    centroid = vsum / jnp.maximum(cnt, 1.0)[:, None]
+    # canonical vertex id per group = smallest member id
+    rep = jax.ops.segment_min(
+        jnp.where(mesh.vertex_mask, jnp.arange(V, dtype=jnp.int32), V - 1),
+        gid,
+        num_segments=V,
+    )
+    new_verts = mesh.vertices.at[rep].set(centroid[gid[rep]])
+    remap = rep[gid]  # (V,) vertex -> canonical vertex
+    new_tri = remap[mesh.triangles]
+    degen = (
+        (new_tri[:, 0] == new_tri[:, 1])
+        | (new_tri[:, 1] == new_tri[:, 2])
+        | (new_tri[:, 2] == new_tri[:, 0])
+    )
+    vmask = mesh.vertex_mask & (jnp.arange(V) == remap[jnp.arange(V)])
+    return dataclasses.replace(
+        mesh,
+        vertices=new_verts,
+        triangles=new_tri,
+        vertex_mask=vmask,
+        triangle_mask=mesh.triangle_mask & ~degen,
+    )
+
+
+def compute_adjacency_list(mesh: TriangleMesh, max_degree: int = 32):
+    """Per-vertex adjacency as a fixed-capacity (V, max_degree) int32 array
+    padded with -1 (ref: TriangleMesh::ComputeAdjacencyList,
+    geometry/TriangleMesh.h:117 — the pointer-free TPU shape of the
+    reference's vector<unordered_set<int>>). Returns (adj, degree)."""
+    tri = mesh.triangles
+    T = tri.shape[0]
+    V = mesh.vertices.shape[0]
+    src = jnp.concatenate([tri[:, 0], tri[:, 1], tri[:, 2], tri[:, 1], tri[:, 2], tri[:, 0]])
+    dst = jnp.concatenate([tri[:, 1], tri[:, 2], tri[:, 0], tri[:, 0], tri[:, 1], tri[:, 2]])
+    valid = jnp.tile(mesh.triangle_mask, 6)
+    # sort by (src, dst); dedup identical pairs
+    BIG = jnp.int32(2**30)
+    src_k = jnp.where(valid, src, BIG)
+    dst_k = jnp.where(valid, dst, BIG)
+    src_s, dst_s = jax.lax.sort((src_k, dst_k), num_keys=2)
+    uniq = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (src_s[1:] != src_s[:-1]) | (dst_s[1:] != dst_s[:-1])]
+    )
+    uniq = uniq & (src_s != BIG)
+    # slot within each vertex's row
+    slot = jnp.cumsum(uniq.astype(jnp.int32)) - 1
+    row_start = jax.ops.segment_min(
+        jnp.where(uniq, slot, 2**30), jnp.where(uniq, src_s, V - 1), num_segments=V
+    )
+    local = slot - row_start[jnp.where(uniq, src_s, 0)]
+    ok = uniq & (local < max_degree)
+    adj = jnp.full((V, max_degree), -1, jnp.int32)
+    adj = adj.at[
+        jnp.where(ok, src_s, V - 1), jnp.where(ok, local, max_degree - 1)
+    ].set(jnp.where(ok, dst_s, -1), mode="drop")
+    degree = jax.ops.segment_sum(
+        uniq.astype(jnp.int32), jnp.where(uniq, src_s, V - 1), num_segments=V
+    )
+    return adj, jnp.minimum(degree, max_degree)

@@ -308,6 +308,7 @@ def block_slab_fit(
     wp=None,
     valign: int = 16,
     vwin: int = _SLAB_H,
+    uwin: int = _SLAB_W,
 ):
     """Per-block slab origin + plane-copy pick + fit flag (XLA prep).
 
@@ -341,19 +342,24 @@ def block_slab_fit(
         hp = max(-(-H // valign) * valign, vwin)
     if wp is None:
         wp = max(-(-W // 128) * 128, 2 * _SLAB_W)
+    wp = max(wp, uwin)
     # vertical: align down to the sublane tile; clamp inside the padded image
     v0 = jnp.clip((v_min // valign) * valign, 0, hp - vwin)
     fit_v = v_max - v0 < vwin
     # horizontal: try the original copy (128-aligned origins), then the
     # 64-shifted copy (origins at 64 + 128k in image columns)
-    uA = jnp.clip((u_min // 128) * 128, 0, wp - _SLAB_W)
-    fit_A = u_max - uA < _SLAB_W
+    uA = jnp.clip((u_min // 128) * 128, 0, wp - uwin)
+    fit_A = u_max - uA < uwin
     uB_img = jnp.clip(
-        ((u_min - _SHIFT) // 128) * 128 + _SHIFT, _SHIFT, wp - _SLAB_W
+        ((u_min - _SHIFT) // 128) * 128 + _SHIFT, _SHIFT, wp - uwin
     )
     # the window must start at/left of the first on-screen footprint column
     # (clamping can push it right past u_min, leaving real pixels uncovered)
-    fit_B = (u_max - uB_img < _SLAB_W) & (uB_img <= jnp.maximum(u_min, 0))
+    fit_B = (u_max - uB_img < uwin) & (uB_img <= jnp.maximum(u_min, 0))
+    if wp - uwin < _SHIFT:
+        # shifted-copy origins (64 + 128k) don't exist inside this padded
+        # width: a clamped uB would index out of bounds
+        fit_B = jnp.zeros_like(fit_B)
     use_B = ~fit_A & fit_B
     u0 = jnp.where(use_B, uB_img - _SHIFT, uA)  # columns in the chosen copy
     shift = use_B.astype(jnp.int32)

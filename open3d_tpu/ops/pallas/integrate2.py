@@ -70,6 +70,20 @@ _D21 = float((1 << 21) - 1)
 _VWIN = 160  # window height (v0 32-aligned for the int8 sublane tile)
 _VALIGN = 32
 _NSUB = 7  # int8 subplanes: [d_hi7 | d_mid7 | d_lo7 | c0 | c1 | c2 | c3]
+# big-window pass for near blocks (footprint <= 193 x 257 px guaranteed,
+# i.e. z >= ~0.45 m at TUM intrinsics); beyond that the XLA fallback runs
+_VWIN_BIG = 288
+_UWIN_BIG = 256
+_G_BIG = 4
+_BIG_CAPACITY = 256
+
+
+def plane_dims(H: int, W: int):
+    """Padded plane dims used by prepare_planes_v2 (pass as hp/wp to
+    block_slab_fit so window clamps match the actual plane buffer)."""
+    Hp = max(-(-H // _VALIGN) * _VALIGN, _VWIN_BIG)
+    Wp = max(-(-W // 128) * 128, 2 * _SLAB_W, _UWIN_BIG)
+    return Hp, Wp
 
 
 def prepare_planes_v2(depth: jnp.ndarray, color, with_color: bool, depth_max: float):
@@ -81,11 +95,13 @@ def prepare_planes_v2(depth: jnp.ndarray, color, with_color: bool, depth_max: fl
     so the int8 one-hot matmul reconstructs them exactly in int32; padding
     reads as d21 = 0 = invalid."""
     H, W = depth.shape
-    Hp = max(-(-H // _VALIGN) * _VALIGN, _VWIN)
-    Wp = max(-(-W // 128) * 128, 2 * _SLAB_W)
+    Hp, Wp = plane_dims(H, W)
+    # floor, not round: depths just below depth_max (e.g. a far clip at
+    # depth_max - 1 ulp) must NOT quantize up to full scale, which decodes
+    # to exactly depth_max and flips the d < depth_max validity check
     d21 = jnp.where(
         (depth > 0) & jnp.isfinite(depth),
-        jnp.round(jnp.clip(depth, 0.0, depth_max) * (_D21 / depth_max)),
+        jnp.floor(jnp.clip(depth, 0.0, depth_max) * (_D21 / depth_max)),
         0.0,
     ).astype(jnp.int32)
     if with_color and color is not None:
@@ -148,11 +164,14 @@ def _integrate_kernel_v2(
     depth_max: float,
     weight_max: float,
     with_color: bool,
+    G: int = _G,
+    vwin: int = _VWIN,
+    uwin: int = _SLAB_W,
 ):
     i = pl.program_id(0)
 
     def block_work(j):
-        g = i * _G + j
+        g = i * G + j
         return (slots_ref[g] < C) & (fit_ref[g] == 1)
 
     def slab_dma(j, g):
@@ -162,26 +181,26 @@ def _integrate_kernel_v2(
         return [
             pltpu.make_async_copy(
                 planes_hbm.at[
-                    pl.ds(pl.multiple_of(copy_off + p * Hp + v0, _VALIGN), _VWIN),
-                    pl.ds(u0, _SLAB_W),
+                    pl.ds(pl.multiple_of(copy_off + p * Hp + v0, _VALIGN), vwin),
+                    pl.ds(u0, uwin),
                 ],
-                slab.at[j, :, pl.ds(p * _SLAB_W, _SLAB_W)],
+                slab.at[j, :, pl.ds(p * uwin, uwin)],
                 sem_slab.at[j, p],
             )
             for p in range(_NSUB)
         ]
 
     group_any = block_work(0)
-    for j in range(1, _G):
+    for j in range(1, G):
         group_any = group_any | block_work(j)
 
     # ---- issue all input DMAs for the group up front ----
     @pl.when(group_any)
     def _group_start():
-        for j in range(_G):
+        for j in range(G):
             @pl.when(block_work(j))
             def _start(j=j):
-                g = i * _G + j
+                g = i * G + j
                 for dma in slab_dma(j, g):
                     dma.start()
                 row = slots_ref[g]
@@ -202,16 +221,16 @@ def _integrate_kernel_v2(
     lL = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 128), 1)
     sL = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 128), 0) & 127
     Lmask = (lL == sL).astype(jnp.float32)  # (2048, 128) static pick mask
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 128), 1)
-    vlane_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _VWIN), 1)
+    vlane_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, vwin), 1)
+    ulane_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, uwin), 1)
 
     # ---- per-block compute ----
     @pl.when(group_any)
     def _group_do():
-        for j in range(_G):
+        for j in range(G):
             @pl.when(block_work(j))
             def _do(j=j):
-                g = i * _G + j
+                g = i * G + j
                 for dma in slab_dma(j, g):
                     dma.wait()
                 row_in = slots_ref[g]
@@ -254,16 +273,18 @@ def _integrate_kernel_v2(
                     inb = (
                         (pcz > 1e-4)
                         & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
-                        & (su >= 0) & (su < _SLAB_W) & (sv >= 0) & (sv < _VWIN)
+                        & (su >= 0) & (su < uwin) & (sv >= 0) & (sv < vwin)
                     )
-                    # sentinel sv = VWIN -> all-zero one-hot row -> d21 = 0
-                    sv_s = jnp.where(inb, sv, _VWIN)
+                    # sentinel sv = vwin -> all-zero one-hot row -> d21 = 0
+                    sv_s = jnp.where(inb, sv, vwin)
                     su_s = jnp.where(inb, su, 0)
 
                     # flatten (16,128) -> (2048,1) sample-major via ONE small
-                    # MXU spread over the concat [sv | su] (values <= 256 are
-                    # exact even in a one-pass-bf16 f32 dot) + static-mask picks
-                    svsu = jnp.concatenate([sv_s, su_s], axis=1)  # (16, 256)
+                    # MXU spread over the concat [sv | su], CENTERED by -128:
+                    # the one-pass-bf16 f32 dot is exact only for ints of
+                    # <= 8 significant bits, and the big window's sv reaches
+                    # 288; the [-128, 160] range is exact
+                    svsu = jnp.concatenate([sv_s, su_s], axis=1) - 128
                     Y = jax.lax.dot_general(
                         S1, svsu.astype(jnp.float32),
                         (((1,), (0,)), ((), ())),
@@ -271,34 +292,60 @@ def _integrate_kernel_v2(
                     )  # (2048, 256): Y[s, l'] = svsu[s >> 7, l']
                     svf = jnp.sum(
                         Y[:, :128] * Lmask, axis=1, keepdims=True
-                    ).astype(jnp.int32)
+                    ).astype(jnp.int32) + 128
                     suf = jnp.sum(
                         Y[:, 128:] * Lmask, axis=1, keepdims=True
-                    ).astype(jnp.int32)
+                    ).astype(jnp.int32) + 128
 
-                    ohv = (vlane_iota == svf).astype(jnp.int8)  # (2048, VWIN)
-                    ohu = (lane_iota == suf).astype(jnp.int32)
-                    # int8 one-hot row select: integer matmul semantics are
-                    # exact by construction (Mosaic's default f32 dot truncates
-                    # to one bf16 pass and HIGHEST costs 6x, measured)
-                    rows_sel = jax.lax.dot_general(
-                        ohv, slab_j, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    )  # (2048, 7*128) i32: exact integer row select
-                    sub = [
-                        rows_sel[:, p * _SLAB_W : (p + 1) * _SLAB_W]
-                        for p in range(_NSUB)
-                    ]
-                    d21row = (sub[0] << 14) | (sub[1] << 7) | sub[2]
-                    rgbrow = (
-                        (sub[3] << 18) | (sub[4] << 12) | (sub[5] << 6) | sub[6]
-                    )
-                    d21q = jnp.sum(
-                        d21row * ohu, axis=1, keepdims=True
-                    ).reshape(16, 128)
-                    rgbq = jnp.sum(
-                        rgbrow * ohu, axis=1, keepdims=True
-                    ).reshape(16, 128)
+                    ohv = (vlane_iota == svf).astype(jnp.int8)  # (2048, vwin)
+                    ohu = (ulane_iota == suf).astype(jnp.int32)
+
+                    # int8 one-hot row select, one subplane at a time (the
+                    # fused (2048, 7*uwin) i32 temporary would blow VMEM at
+                    # the big window size): integer matmul semantics are
+                    # exact by construction (Mosaic's default f32 dot
+                    # truncates to one bf16 pass; HIGHEST costs 6x, measured)
+                    if uwin <= 128:
+                        # fused: ONE (2048, 7*uwin) i32 row select + packed
+                        # combine + two selects (fastest; measured ~4 us
+                        # marginal per block at uwin 128)
+                        rows_sel = jax.lax.dot_general(
+                            ohv, slab_j, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )  # (2048, 7*uwin) i32: exact integer row select
+                        sub = [
+                            rows_sel[:, p * uwin : (p + 1) * uwin]
+                            for p in range(_NSUB)
+                        ]
+                        d21row = (sub[0] << 14) | (sub[1] << 7) | sub[2]
+                        rgbrow = (
+                            (sub[3] << 18) | (sub[4] << 12)
+                            | (sub[5] << 6) | sub[6]
+                        )
+                        d21q = jnp.sum(
+                            d21row * ohu, axis=1, keepdims=True
+                        ).reshape(16, 128)
+                        rgbq = jnp.sum(
+                            rgbrow * ohu, axis=1, keepdims=True
+                        ).reshape(16, 128)
+                    else:
+                        # big window: one subplane at a time — the fused
+                        # (2048, 7*uwin) i32 temporary would blow VMEM
+                        def qsel(p):
+                            rows_p = jax.lax.dot_general(
+                                ohv, slab_j[:, p * uwin : (p + 1) * uwin],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32,
+                            )  # (2048, uwin) i32
+                            return jnp.sum(rows_p * ohu, axis=1, keepdims=True)
+
+                        d21q = (
+                            (qsel(0) << 14) | (qsel(1) << 7) | qsel(2)
+                        ).reshape(16, 128)
+                        rgbq = (
+                            (qsel(3) << 18) | (qsel(4) << 12)
+                            | (qsel(5) << 6) | qsel(6)
+                        ).reshape(16, 128)
                     d24_chunks.append(d21q)
                     rgb_chunks.append(rgbq)
                     pcz_chunks.append(pcz)
@@ -361,10 +408,10 @@ def _integrate_kernel_v2(
         # ---- drain output DMAs before the scratch is reused next step ----
     @pl.when(group_any)
     def _group_drain():
-        for j in range(_G):
+        for j in range(G):
             @pl.when(block_work(j))
             def _drain(j=j):
-                g = i * _G + j
+                g = i * G + j
                 row = slots_ref[g]
                 pltpu.make_async_copy(
                     pay_tw.at[j], tw_out.at[row], sem_out.at[j, 0]
@@ -392,8 +439,16 @@ def integrate_blocks_v2(
     depth_max: float,
     weight_max: float = 10000.0,
     interpret: Optional[bool] = None,
+    vwin: int = _VWIN,
+    uwin: int = _SLAB_W,
+    group: int = _G,
 ):
-    """Sample + fuse M touched blocks in place. Returns (tw', color')."""
+    """Sample + fuse M touched blocks in place. Returns (tw', color').
+
+    vwin/uwin select the window size: the default (160, 128) covers the
+    common case; the big-window pass (voxel_block_grid.integrate uses
+    (288, 256), group 4) handles near blocks whose footprint exceeds it,
+    down to ~0.45 m at TUM intrinsics."""
     if interpret is None:
         from open3d_tpu.core.platform import is_tpu
 
@@ -401,7 +456,7 @@ def integrate_blocks_v2(
     C1 = tw_buf.shape[0]
     assert tw_buf.shape[1:] == (32, 128), tw_buf.shape
     M = slots.shape[0]
-    assert M % _G == 0, f"work-list capacity {M} must be a multiple of {_G}"
+    assert M % group == 0, f"work-list capacity {M} % group {group} != 0"
     with_color = color_buf.shape[1] > 0
     H, W = intrinsic.height, intrinsic.width
 
@@ -430,11 +485,14 @@ def integrate_blocks_v2(
         depth_max=float(depth_max),
         weight_max=float(weight_max),
         with_color=with_color,
+        G=group,
+        vwin=vwin,
+        uwin=uwin,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
-        grid=(M // _G,),
+        grid=(M // group,),
         in_specs=[
             pl.BlockSpec((1, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -446,12 +504,12 @@ def integrate_blocks_v2(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_G, _VWIN, _NSUB * _SLAB_W), jnp.int8),
-            pltpu.VMEM((_G, 32, 128), jnp.int32),
-            pltpu.VMEM((_G, 32, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((_G, _NSUB)),
-            pltpu.SemaphoreType.DMA((_G, 2)),
-            pltpu.SemaphoreType.DMA((_G, 2)),
+            pltpu.VMEM((group, vwin, _NSUB * uwin), jnp.int8),
+            pltpu.VMEM((group, 32, 128), jnp.int32),
+            pltpu.VMEM((group, 32, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((group, _NSUB)),
+            pltpu.SemaphoreType.DMA((group, 2)),
+            pltpu.SemaphoreType.DMA((group, 2)),
         ],
     )
     tw3, col3 = pl.pallas_call(

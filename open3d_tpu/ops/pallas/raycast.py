@@ -10,23 +10,25 @@ module removes payload gathers from the inner loop entirely:
 
   pass 1 (XLA, `build_tile_lists`): rasterize active blocks into PER-TILE
     CANDIDATE BLOCK LISTS — for every 16x16-pixel tile, the <=K payload rows
-    of the blocks whose projected footprint covers it, depth-sorted via one
-    lax.sort over (tile, z) keys. Blocks that straddle the camera plane or
-    exceed the footprint cap go to a small global "extras" list appended to
-    every tile (they are the reference's EstimateRange fallback, but scoped
-    to a list instead of widening every tile's range — fixes the round-2
-    global-fallback blowup and the unbounded-rh advisor finding).
+    of the blocks whose projected bbox covers it, via a dense (T, A)
+    overlap mask + per-tile lax.top_k on entry depth (round-5: replaces the
+    round-4 524k-key pair sort and its silent visible-set drops). Blocks
+    that straddle the camera plane go to a small global "extras" list
+    appended to every tile (the reference's EstimateRange fallback, scoped
+    to a list instead of widening every tile's range).
 
-  pass 2 (Pallas, `march_tiles`): grid over tiles; the candidate blocks'
-    payload rows are gather-DMA'd HBM->VMEM (rows picked by scalar-prefetched
-    indices), then 256 rays march each block's chord with M fixed samples.
-    The per-sample "random access" into the 16^3 block is a one-hot matmul
-    on the MXU (row select over 32 sublane rows) + a lane `dynamic_gather`
-    — ~1G samples/s measured vs 0.13G for XLA gather. A +/- sign change is
-    refined by a secant step on the two bracketing samples (the reference
-    refines with trilinear interpolation; secant on the 2-voxel-pitch
-    bracket is within ~0.5 voxel and the XLA trilinear polish pass below is
-    available for quality-critical callers).
+  pass 2 (Pallas, `march_tiles`): grid over tiles; candidate payload rows
+    are prefetch-ring gather-DMA'd HBM->VMEM inside a while_loop that
+    BREAKS once every ray of the tile has a hit (the reference's early
+    march termination at tile granularity, also saving the DMA issues).
+    256 rays march each block's chord with M fixed samples; the per-sample
+    access into the 16^3 block is a one-hot MXU row select + a static-mask
+    lane reduce. Sign changes interpolate between the SNAPPED VOXEL
+    CENTERS' own ray parameters (not the raw sample positions — that
+    staircase cost ~0.5 voxel of median error), with a carried cross-block
+    pair that engages only when contiguous along the ray (the tile-level
+    front-to-back sort cannot order every ray's chords; round-4's
+    unconditional carry was most of its 4.2% in-range miss rate).
 
 Payload layout: see geometry/voxel_block_grid.py (tw i32 = tsdf s1.14 |
 weight u16; block resolution fixed at 16 here).
@@ -65,18 +67,23 @@ def build_tile_lists(
     tile: int = 16,
     K: int = 24,
     G: int = 8,
-    visible_capacity: int = 2048,
+    visible_capacity: int = 4096,
 ):
     """Pass 1: per-tile depth-sorted candidate block lists (ref: the
     EstimateRange rasterization, VoxelBlockGridImpl.h:307-560, re-expressed
-    as a bounded-footprint pair sort instead of fragment atomics).
+    as a dense tile-x-block overlap mask + per-tile top-K instead of
+    fragment atomics).
 
-    All active slots are scanned (round-3 capped the scan at 16384 and
-    silently dropped half the scene once the grid grew past it — the
-    measured 0.44 hit rate); only the FRUSTUM-VISIBLE blocks are compacted
-    into the fixed `visible_capacity` working set that feeds the pair sort,
-    so the sort size tracks what the camera sees, not the whole map.
-    Visible-set overflow is folded into the overflow stat."""
+    All active slots are scanned; only the FRUSTUM-VISIBLE blocks are
+    compacted into the fixed `visible_capacity` working set. Round-4 built
+    the lists by sorting (block, tile-cell) PAIRS — 256 cells per block x
+    2048 blocks = a 524k-key lax.sort that dominated raycast time AND a
+    2048 visible cap that silently dropped blocks once the map grew
+    (measured: whole-tile holes = most of the 4.2% in-range miss rate).
+    The dense (T, A) bbox-overlap mask + lax.top_k(-z0, K) needs no sort,
+    costs O(T*A) vector ops, and keeps front-to-back order (descending
+    score = ascending entry depth). Visible-set overflow is folded into
+    the overflow stat."""
     from open3d_tpu.core.masking import compact_indices
 
     TH = -(-intrinsic.height // tile)
@@ -139,53 +146,27 @@ def build_tile_lists(
         & (jnp.max(v, axis=-1) >= 0)
         & (jnp.min(v, axis=-1) < intrinsic.height)
     )
-    rw = tu1 - tu0 + 1
-    rh = tv1 - tv0 + 1
-    # 16x16-cell footprint cap (256 px at tile=16): blocks closer than
-    # ~0.2 m at TUM intrinsics overflow it. Round-3's 8x8 cap pushed every
-    # block nearer than ~0.4 m into the per-FRAME extras list that gets
-    # appended to EVERY tile — which more than doubled march work
-    # (nk 5.4 + 8 extras measured). Wider cap => extras are only true
-    # camera-plane straddlers.
-    KW = 16
-    fits = front & (rw <= KW) & (rh <= KW)  # rh bounded too (ADVICE r2 #1)
-    ok = vis & on & front & fits
-    # extras: visible but unrasterizable (straddles camera plane / too big)
-    extra_mask = vis & ~(front & fits) & (front | (z1 > 0))
+    ok = vis & on & front
+    # extras: visible but unrasterizable (straddles the camera plane: its
+    # image-plane bbox is meaningless)
+    extra_mask = vis & ~front & (z1 > 0)
 
-    # (block, tile-cell) pair enumeration, footprint cap 8x8
-    kk = jnp.arange(KW * KW, dtype=jnp.int32)
-    kx = kk % KW
-    ky = kk // KW
-    tx = tu0[:, None] + kx[None, :]
-    ty = tv0[:, None] + ky[None, :]
-    inside = ok[:, None] & (kx[None, :] < rw[:, None]) & (ky[None, :] < rh[:, None])
-    pair_tile = jnp.where(inside, ty * TW + tx, T)  # (A, 64)
-    # sort key: tile major, entry depth minor (14-bit quantized)
-    qz = jnp.clip(
-        ((z0 - depth_min) * (16383.0 / max(depth_max - depth_min, 1e-6))),
-        0,
-        16383,
-    ).astype(jnp.int32)
-    key = pair_tile * 16384 + jnp.broadcast_to(qz[:, None], pair_tile.shape)
-    pair_slot = jnp.broadcast_to(slots[:, None], pair_tile.shape)
-    key_f = key.reshape(-1)
-    slot_f = pair_slot.reshape(-1).astype(jnp.int32)
-    key_s, slot_s = jax.lax.sort((key_f, slot_f), num_keys=1)
-    tile_s = key_s // 16384
-
-    # CSR per tile -> fixed (T, K) lists
-    seg_start = jnp.searchsorted(tile_s, jnp.arange(T + 1, dtype=jnp.int32))
-    counts = seg_start[1:] - seg_start[:-1]  # (T,)
-    nk = jnp.minimum(counts, K).astype(jnp.int32)
+    # dense (T, A) overlap: tile (ty, tx) intersects the block's bbox
+    t_iota = jnp.arange(T, dtype=jnp.int32)
+    tx = (t_iota % TW)[:, None]  # (T, 1)
+    ty = (t_iota // TW)[:, None]
+    inside = (
+        ok[None, :]
+        & (tx >= tu0[None, :]) & (tx <= tu1[None, :])
+        & (ty >= tv0[None, :]) & (ty <= tv1[None, :])
+    )  # (T, A)
+    score = jnp.where(inside, -z0[None, :], -jnp.float32(3.4e38))
+    top_vals, top_idx = jax.lax.top_k(score, K)  # (T, K), front-to-back
+    validk = top_vals > -3.3e38
+    nk = jnp.sum(validk.astype(jnp.int32), axis=1)
+    counts = jnp.sum(inside.astype(jnp.int32), axis=1)
     overflow = jnp.sum(jnp.maximum(counts - K, 0)) + vis_overflow
-    kidx = jnp.arange(K, dtype=jnp.int32)
-    gidx = seg_start[:-1, None] + kidx[None, :]  # (T, K)
-    validk = kidx[None, :] < nk[:, None]
-    N_pairs = key_f.shape[0]
-    rows_tk = jnp.where(
-        validk, slot_s[jnp.minimum(gidx, N_pairs - 1)], -1
-    ).astype(jnp.int32)
+    rows_tk = jnp.where(validk, slots[top_idx], -1).astype(jnp.int32)
 
     # extras (cap G)
     eidx, ecount = compact_indices(extra_mask, G)
@@ -259,15 +240,26 @@ def _march_kernel(
         # front-to-back.
         return jnp.where(k < nex, TK + k, t * K + (k - nex))
 
-    # start all candidate DMAs up front (parallel issue hides HBM latency)
-    def dma_body(k, _):
+    _RING = 4
+    _PREF = 2
+
+    def dma_start(k):
         idx = pair_idx(k)
         pltpu.make_async_copy(
-            tw_hbm.at[rows_ref[idx]], scratch.at[k], sem.at[k]
+            tw_hbm.at[rows_ref[idx]], scratch.at[k % _RING], sem.at[k % _RING]
         ).start()
-        return 0
 
-    jax.lax.fori_loop(0, nk_tot, dma_body, 0)
+    def dma_wait(k):
+        idx = pair_idx(k)
+        pltpu.make_async_copy(
+            tw_hbm.at[rows_ref[idx]], scratch.at[k % _RING], sem.at[k % _RING]
+        ).wait()
+
+    # warm up the prefetch ring
+    for w in range(_PREF):
+        @pl.when(w < nk_tot)
+        def _(w=w):
+            dma_start(w)
 
     # rays of this tile
     px0 = (t % TW) * tile
@@ -291,10 +283,13 @@ def _march_kernel(
     def block_body(k, carry):
         zhit, pv, pz = carry
         idx = pair_idx(k)
-        pltpu.make_async_copy(
-            tw_hbm.at[rows_ref[idx]], scratch.at[k], sem.at[k]
-        ).wait()
-        blk = scratch[k]  # (32, 128) i32
+        dma_wait(k)
+
+        @pl.when(k + _PREF < nk_tot)
+        def _():
+            dma_start(k + _PREF)
+
+        blk = scratch[k % _RING]  # (32, 128) i32
         ts32 = (blk >> 16).astype(jnp.float32) * (1.0 / _TSDF_SCALE)
         alloc = (blk & 0xFFFF) > 0
         plane = jnp.where(alloc, ts32, _SENTINEL)
@@ -319,12 +314,9 @@ def _march_kernel(
         has = t_out > t_in
 
         # Early skip: a block none of this tile's rays intersect (the
-        # broadcast "extras", padding), or a tile whose every ray already
-        # found a nearer hit (block lists are front-to-back sorted), pays
-        # only the chord test. This is the reference's per-thread early
-        # march termination (VoxelBlockGridImpl.h:740+) at tile granularity.
-        all_done = jnp.all(zhit < big)
-        active = jnp.any(has) & jnp.logical_not(all_done)
+        # broadcast "extras", padding) pays only the chord test; the
+        # all-done termination lives in the while_loop condition below.
+        active = jnp.any(has)
 
         def do_block(carry):
             zhit, pv, pz = carry
@@ -356,18 +348,32 @@ def _march_kernel(
             row = flat >> 7
             lane = flat & 127
 
+            # the sampled value is the tsdf AT THE SNAPPED VOXEL CENTER,
+            # not at zm: interpolate crossings against the voxel center's
+            # own ray parameter (projection onto the ray) — removes the
+            # +-0.5-voxel staircase error of sample-position interpolation
+            # (measured: median error 3.1 -> near the trilinear reference)
+            d2 = dX * dX + dY * dY + dZ * dZ
+            cxw = (bxi + lx).astype(jnp.float32) * voxel_size + 0.5 * voxel_size
+            cyw = (byi + ly).astype(jnp.float32) * voxel_size + 0.5 * voxel_size
+            czw = (bzi + lz).astype(jnp.float32) * voxel_size + 0.5 * voxel_size
+            z_vox = (
+                (cxw - oX) * dX + (cyw - oY) * dY + (czw - oZ) * dZ
+            ) / jnp.maximum(d2, 1e-12)
+            zv = jnp.where(inb, z_vox, zm)
+
             r_iota = jax.lax.broadcasted_iota(jnp.int32, (NR, 32), 1)
+            l_iota = jax.lax.broadcasted_iota(jnp.int32, (NR, 128), 1)
             vals_cols = []
             for m in range(M):
                 oh = (r_iota == row[:, m : m + 1]).astype(jnp.float32)
                 rows_sel = jnp.dot(
                     oh, plane, preferred_element_type=jnp.float32
                 )
-                val_m = jnp.take_along_axis(
-                    rows_sel,
-                    jnp.broadcast_to(lane[:, m : m + 1], (NR, 128)),
-                    axis=1,
-                )[:, :1]
+                # lane pick via static-mask reduce: ~2x cheaper than the
+                # lane dynamic_gather at (NR, 128) (perf_micro.py)
+                lmask = (l_iota == lane[:, m : m + 1]).astype(jnp.float32)
+                val_m = jnp.sum(rows_sel * lmask, axis=1, keepdims=True)
                 vals_cols.append(val_m)
             vals = jnp.concatenate(vals_cols, axis=1)  # (NR, M)
 
@@ -376,26 +382,81 @@ def _march_kernel(
             # reference march: a ray entering negative TSDF straight from
             # unallocated space still registers the crossing.
             v_eff = jnp.where(ok, vals, 1.0)
-            # pairwise zero-crossing detection (prev sample -> this one),
-            # with the previous block's last sample carried in as pair 0
-            vprev = jnp.concatenate([pv, v_eff[:, : M - 1]], axis=1)
-            zprev = jnp.concatenate([pz, zm[:, : M - 1]], axis=1)
-            cross = (vprev > 0) & (v_eff <= 0) & ok & (zm > zprev)
-            zc = zprev + vprev / jnp.maximum(vprev - v_eff, 1e-6) * (
-                zm - zprev
+            # pairwise zero-crossing detection (prev sample -> this one).
+            # Pair 0 uses the carried last sample of the PREVIOUS block
+            # only when it is contiguous with this chord's entry: the tile
+            # list is sorted by block z0, which does NOT order every RAY's
+            # chords — an out-of-order (or unallocated) block in between
+            # would otherwise poison the carry and mask the real crossing
+            # (measured: dominant cause of the residual in-range misses).
+            # Non-contiguous entries fall back to synthetic empty space at
+            # t_in (a boundary-straddling crossing then interpolates from
+            # the entry point: bounded by one sample pitch).
+            contig = jnp.abs(t_in - pz) <= jnp.maximum(
+                step, jnp.float32(2.0 * voxel_size)
             )
+            vprev0 = jnp.where(contig, pv, 1.0)
+            zprev0 = jnp.where(contig, pz, t_in)
+            vprev = jnp.concatenate([vprev0, v_eff[:, : M - 1]], axis=1)
+            zprev = jnp.concatenate([zprev0, zm[:, : M - 1]], axis=1)
+            zvprev = jnp.concatenate([zprev0, zv[:, : M - 1]], axis=1)
+            cross = (vprev > 0) & (v_eff <= 0) & ok & (zm > zprev)
+            zc = zvprev + vprev / jnp.maximum(vprev - v_eff, 1e-6) * (
+                zv - zvprev
+            )
+            # voxel-center parameters can locally invert; clamp to the
+            # sample-order bracket so zc stays sane
+            zc = jnp.clip(zc, jnp.minimum(zprev, zm), jnp.maximum(zprev, zm))
             cand = jnp.where(cross, zc, big)
-            zhit = jnp.minimum(zhit, jnp.min(cand, axis=1, keepdims=True))
+            zhit = jnp.minimum(
+                zhit, jnp.min(cand, axis=1, keepdims=True)
+            )
 
-            pv = jnp.where(ok[:, M - 1 :], vals[:, M - 1 :], 1.0)
+
+            # carry advances ONLY for rays that actually sampled a chord of
+            # this block: a no-chord ray's (inverted) t_in/t_out would poison
+            # pz with a far-ahead garbage sample, and the later real
+            # crossing then fails the zm > zprev monotonicity test —
+            # measured as whole-tile holes, most of round-4's 4.2% in-range
+            # miss rate
+            okl = ok[:, M - 1 :]
             zlast = zm[:, M - 1 :]
-            pz = jnp.where(ok[:, M - 1 :] | (zlast > pz), zlast, pz)
+            pv = jnp.where(has, jnp.where(okl, vals[:, M - 1 :], 1.0), pv)
+            pz = jnp.where(has, jnp.maximum(zlast, pz), pz)
             return zhit, pv, pz
 
         return jax.lax.cond(active, do_block, lambda c: c, carry)
 
-    init = (inf, jnp.full((NR, 1), 1.0, jnp.float32), jnp.zeros((NR, 1), jnp.float32))
-    zhit, _, _ = jax.lax.fori_loop(0, nk_tot, block_body, init)
+    # while_loop with a true early BREAK: once every ray has a hit, the
+    # remaining candidates are neither DMA'd nor marched (tile lists are
+    # front-to-back, so later blocks cannot improve the hit) — the
+    # reference's per-thread early termination (VoxelBlockGridImpl.h:740+)
+    # at tile granularity, now saving the DMA issues too.
+    def while_cond(state):
+        k, zhit, pv, pz = state
+        return (k < nk_tot) & jnp.logical_not(jnp.all(zhit < big))
+
+    def while_body(state):
+        k, zhit, pv, pz = state
+        zhit, pv, pz = block_body(k, (zhit, pv, pz))
+        return k + 1, zhit, pv, pz
+
+    init = (
+        jnp.int32(0),
+        inf,
+        jnp.full((NR, 1), 1.0, jnp.float32),
+        jnp.zeros((NR, 1), jnp.float32),
+    )
+    k_end, zhit, _, _ = jax.lax.while_loop(while_cond, while_body, init)
+
+    # drain in-flight prefetches the break left unwaited (their ring slots
+    # are reused by the NEXT grid step's warmup)
+    def drain_body(j, _):
+        dma_wait(j)
+        return 0
+
+    jax.lax.fori_loop(k_end, jnp.minimum(k_end + _PREF, nk_tot), drain_body, 0)
+
     zhit = jnp.where(zhit < big, zhit, 0.0)
     zhit_ref[:] = zhit.reshape(1, 1, NR)
 
@@ -410,7 +471,7 @@ def march_tiles(
     tile: int = 16,
     K: int = 24,
     G: int = 8,
-    M: int = 8,
+    M: int = 6,
     interpret: bool = False,
 ):
     """Pass 2: march all tiles; returns the (H, W) hit-depth map (0 = miss)."""
@@ -465,8 +526,8 @@ def march_tiles(
             (1, 1, NR), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((K + G, 32, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((K + G,)),
+            pltpu.VMEM((4, 32, 128), jnp.int32),  # DMA prefetch ring
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     zhit = pl.pallas_call(
@@ -498,7 +559,7 @@ def raycast_depth(
     depth_max: float = 3.0,
     tile: int = 16,
     K: int = 24,
-    M: int = 8,
+    M: int = 6,
     interpret: bool = False,
 ):
     """Full fast raycast -> (depth (H,W) f32 with 0 = miss, overflow stat)."""

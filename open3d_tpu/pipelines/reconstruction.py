@@ -502,6 +502,26 @@ def run_system(sequence, cfg: ReconstructionConfig, mesh=None):
     return vbg, traj, graph
 
 
+def extract_scene_mesh(
+    vbg,
+    triangle_capacity: int = 400_000,
+    min_component_triangles: int = 32,
+):
+    """Final-mesh extraction with debris cleanup: indexed marching-tet
+    mesh, then small connected components stripped — the reference
+    reconstruction demos' `mesh.cluster_connected_triangles()` +
+    small-cluster removal step (examples/python/reconstruction_system)."""
+    from open3d_tpu.geometry import voxel_block_grid as vbg_mod
+    from open3d_tpu.ops import mesh as mops
+
+    m = vbg_mod.extract_triangle_mesh(vbg, triangle_capacity=triangle_capacity)
+    if min_component_triangles > 0:
+        m = mops.remove_small_components(
+            m, min_triangles=min_component_triangles
+        )
+    return m
+
+
 # ---------------------------------------------------------------------------
 # Evaluation: ATE (Horn alignment + RMSE) — the reference keeps this in
 # example scripts; here it is a library primitive.

@@ -82,3 +82,68 @@ def test_fuse_kernel_nocolor():
     np.testing.assert_allclose(
         np.asarray(ta)[~diff], np.asarray(tb)[~diff], atol=1e-3
     )
+
+
+def test_near_blocks_big_window():
+    """Close-up frame: blocks whose footprint exceeds the (160, 128)
+    window go through the big-window Pallas pass (288x256) instead of
+    being dropped by the old 48-cap XLA fallback. Compared against an
+    f64 numpy ground truth (not the XLA path: the two f32 paths break
+    half-pixel rounding ties differently depending on compiler flags);
+    only genuine +-0.5-ulp tie voxels may disagree."""
+    import jax.numpy as jnp
+
+    from open3d_tpu.data import synthetic
+    from open3d_tpu.data.synthetic import look_at
+    from open3d_tpu.core import hashmap as hm
+
+    # full-size intrinsics + close camera: blocks at z ~ 0.5-0.8 m project
+    # wider than 128 px at fx = 525
+    intr = PinholeCameraIntrinsic(640, 480, 525.0, 525.0, 319.5, 239.5)
+    E = look_at([0.8, 0.9, -0.7], [0.8, 0.9, 0.4])
+    depth, color = synthetic.render_depth(
+        synthetic.default_scene_sdf, intr, E, with_color=True
+    )
+    assert float(jnp.min(jnp.where(depth > 0, depth, jnp.inf))) < 0.9
+    vbg0 = vbg_mod.create(
+        voxel_size=3.0 / 512, block_resolution=16, block_count=8192,
+        with_color=True,
+    )
+    keys, _ = vbg_mod.compute_unique_block_coordinates(
+        vbg0, depth, intr, E, depth_max=3.0, frame_block_capacity=2048
+    )
+    # fallback capacity raised: this extreme close-up has ~70 blocks
+    # nearer than the big window's ~0.45 m bound (real depth sensors
+    # have a 0.4-0.5 m min range, so the class is empty on real data)
+    vb = vbg_mod.integrate(
+        vbg0, keys, depth, color, intr, E, depth_max=3.0, use_pallas=True,
+        fallback_capacity=128,
+    )
+    wb = np.asarray(vb.tsdf_weight()[1]).reshape(vbg0.capacity + 1, -1)
+
+    # f64 ground-truth keep mask per active block
+    coords = np.asarray(hm.unpack_coords(vb.table)).astype(np.float64)
+    occ = np.asarray(hm.occupied_mask(vb.table))
+    En = np.asarray(E).astype(np.float64)
+    R, t = En[:3, :3], En[:3, 3]
+    D = np.asarray(depth).astype(np.float64)
+    vs = 3.0 / 512
+    trunc = 4 * vs
+    f = np.arange(4096)
+    local = np.stack([f & 15, (f >> 4) & 15, f >> 8], -1).astype(np.float64)
+    rows = np.where(occ)[0]
+    n_diff = 0
+    n_vox = 0
+    for r in rows:
+        pw = coords[r] * 16 * vs + local * vs
+        pc = pw @ R.T + t
+        zc = np.maximum(pc[:, 2], 1e-6)
+        ui = np.round(pc[:, 0] / zc * intr.fx + intr.cx).astype(int)
+        vi = np.round(pc[:, 1] / zc * intr.fy + intr.cy).astype(int)
+        inb = (pc[:, 2] > 1e-4) & (ui >= 0) & (ui < 640) & (vi >= 0) & (vi < 480)
+        d = np.where(inb, D[np.clip(vi, 0, 479), np.clip(ui, 0, 639)], 0.0)
+        keep = inb & (d > 0) & (d < 3.0) & (d - pc[:, 2] >= -trunc)
+        bad = wb[r] != keep
+        n_diff += int(bad.sum())
+        n_vox += 4096
+    assert n_diff / n_vox < 5e-5, (n_diff, n_vox)
