@@ -218,7 +218,47 @@ def bench_icp(key, small=False):
         ).transformation
     )
     dt = timed_loop(f, [(clouds[0], clouds[1])], n_reps=3)
-    return N_ITER / dt
+
+    # per-stage breakdown (VERDICT r4 item 5), amortized inside fori_loops of
+    # N_ITER so the ~1 ms/dispatch tunnel latency divides out
+    from open3d_tpu.core import nns
+
+    est = reg.TransformationEstimationPointToPlane()
+    src, tgt = clouds
+    b = nns.banded_build(
+        tgt.positions, tgt.mask, est.corr_extras(tgt), window=2048
+    )
+    qkey = jnp.where(src.mask, nns.banded_query_key(b, src.positions), 3e38)
+    qs = src.positions[jnp.argsort(qkey)]
+    qm = src.mask[jnp.argsort(qkey)]
+
+    def loop_nn(qq):
+        def body(i, acc):
+            _, d2, _, _ = nns.banded_one_nn(b, qq + acc * 1e-12, 0.05, qmask=qm)
+            return acc + jnp.sum(d2)
+
+        return jax.lax.fori_loop(0, N_ITER, body, 0.0)
+
+    def loop_nn_est(qq):
+        def body(i, acc):
+            idx, d2, sel, _ = nns.banded_one_nn(
+                b, qq + acc * 1e-12, 0.05, qmask=qm
+            )
+            up = est.compute(qq, {}, tgt, idx, qm & (idx >= 0), None, corr_rows=sel)
+            return acc + up[0, 3]
+
+        return jax.lax.fori_loop(0, N_ITER, body, 0.0)
+
+    t_nn = timed_loop(jax.jit(loop_nn), [(qs,)], n_reps=3) / N_ITER
+    t_nn_est = timed_loop(jax.jit(loop_nn_est), [(qs,)], n_reps=3) / N_ITER
+    _, _, _, short = jax.jit(lambda q: nns.banded_one_nn(b, q, 0.05, qmask=qm))(qs)
+    breakdown = {
+        "icp_nn_ms": round(t_nn * 1e3, 3),
+        "icp_estimation_ms": round(max(t_nn_est - t_nn, 0.0) * 1e3, 3),
+        "icp_other_ms": round(max(dt / N_ITER - t_nn_est, 0.0) * 1e3, 3),
+        "icp_band_shortfall": int(short),
+    }
+    return N_ITER / dt, breakdown
 
 
 def bench_odometry(intrinsic, depths, colors):
@@ -306,7 +346,7 @@ def main():
     slam_fps = bench_slam(intrinsic, depths, colors, small)
     slam_half_fps = bench_slam(intrinsic, depths, colors, small, stride=2)
     key = jax.random.PRNGKey(0)
-    icp_ips = bench_icp(key, small)
+    icp_ips, icp_breakdown = bench_icp(key, small)
     odo_fps = bench_odometry(intrinsic, depths, colors)
     fpfh_s = bench_fpfh_ransac(key, small)
 
@@ -317,6 +357,7 @@ def main():
         "slam_vs_30fps": round(slam_fps / RAYCAST_TARGET_FPS, 3),
         "slam_half_res_track_fps": round(slam_half_fps, 2),
         "icp_iters_per_s": round(icp_ips, 1),
+        **icp_breakdown,
         "odometry_fps": round(odo_fps, 2),
         "fpfh_ransac_s": round(fpfh_s, 3),
         **ray_acc,

@@ -111,8 +111,16 @@ class TransformationEstimationPointToPoint:
 
     with_scaling: bool = False
 
-    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None):
-        q = tgt.positions[jnp.maximum(corr_idx, 0)]
+    def corr_extras(self, tgt):
+        """Extra target columns for the banded-NN fast path (none)."""
+        return None
+
+    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None,
+                corr_rows=None):
+        if corr_rows is not None:
+            q = corr_rows[:, :3]
+        else:
+            q = tgt.positions[jnp.maximum(corr_idx, 0)]
         w = valid.astype(jnp.float32)
         return _weighted_umeyama(src_pos, q, w, self.with_scaling)
 
@@ -133,10 +141,17 @@ class TransformationEstimationPointToPlane:
 
     kernel: RobustKernel = RobustKernel()
 
-    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None):
-        idx = jnp.maximum(corr_idx, 0)
-        q = tgt.positions[idx]
-        n = tgt.attrs["normals"][idx]
+    def corr_extras(self, tgt):
+        return tgt.attrs["normals"]
+
+    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None,
+                corr_rows=None):
+        if corr_rows is not None:
+            q, n = corr_rows[:, :3], corr_rows[:, 3:6]
+        else:
+            idx = jnp.maximum(corr_idx, 0)
+            q = tgt.positions[idx]
+            n = tgt.attrs["normals"][idx]
         r = jnp.sum((src_pos - q) * n, axis=-1)
         J = jnp.concatenate([jnp.cross(src_pos, n), n], axis=-1)  # (N, 6)
         w = valid.astype(jnp.float32) * self.kernel.weight(r)
@@ -154,12 +169,27 @@ class TransformationEstimationForColoredICP:
     lambda_geometric: float = 0.968
     kernel: RobustKernel = RobustKernel()
 
-    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None):
-        idx = jnp.maximum(corr_idx, 0)
-        q = tgt.positions[idx]
-        n = tgt.attrs["normals"][idx]
-        c_q = _intensity(tgt.attrs["colors"])[idx]
-        g = tgt.attrs["color_gradients"][idx]
+    def corr_extras(self, tgt):
+        return jnp.concatenate(
+            [
+                tgt.attrs["normals"],
+                _intensity(tgt.attrs["colors"])[:, None],
+                tgt.attrs["color_gradients"],
+            ],
+            axis=1,
+        )
+
+    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None,
+                corr_rows=None):
+        if corr_rows is not None:
+            q, n = corr_rows[:, :3], corr_rows[:, 3:6]
+            c_q, g = corr_rows[:, 6], corr_rows[:, 7:10]
+        else:
+            idx = jnp.maximum(corr_idx, 0)
+            q = tgt.positions[idx]
+            n = tgt.attrs["normals"][idx]
+            c_q = _intensity(tgt.attrs["colors"])[idx]
+            g = tgt.attrs["color_gradients"][idx]
         c_p = _intensity(src_attrs["colors"])
 
         sqrt_lg = jnp.sqrt(self.lambda_geometric)
@@ -206,9 +236,18 @@ class TransformationEstimationForGeneralizedICP:
         )
         return jnp.einsum("...ij,...j,...kj->...ik", evecs, d, evecs)
 
-    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None):
+    def corr_extras(self, tgt):
+        return tgt.attrs["covariances"].reshape(-1, 9)
+
+    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None,
+                corr_rows=None):
         idx = jnp.maximum(corr_idx, 0)
-        q = tgt.positions[idx]
+        if corr_rows is not None:
+            q = corr_rows[:, :3]
+            cov_q = corr_rows[:, 3:12].reshape(-1, 3, 3)
+        else:
+            q = tgt.positions[idx]
+            cov_q = tgt.attrs["covariances"][idx]
         c_p = self._regularize(src_attrs["covariances"])
         # rotate source covariances into the current frame: positions are
         # already transformed by T, so C_p must follow (the reference's
@@ -216,7 +255,7 @@ class TransformationEstimationForGeneralizedICP:
         if T is not None:
             R = T[:3, :3]
             c_p = jnp.einsum("ij,njk,lk->nil", R, c_p, R)
-        c_q = self._regularize(tgt.attrs["covariances"][idx])
+        c_q = self._regularize(cov_q)
         m = jnp.linalg.inv(c_q + c_p + 1e-6 * jnp.eye(3))  # (N,3,3)
         r = src_pos - q  # (N,3)
         # J (N,3,6): d r / d xi with xi = (omega, t): [-[p]x | I]
@@ -259,10 +298,17 @@ class TransformationEstimationForDopplerICP:
     lambda_doppler: float = 0.01
     kernel: RobustKernel = RobustKernel()
 
-    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None):
-        idx = jnp.maximum(corr_idx, 0)
-        q = tgt.positions[idx]
-        n = tgt.attrs["normals"][idx]
+    def corr_extras(self, tgt):
+        return tgt.attrs["normals"]
+
+    def compute(self, src_pos, src_attrs, tgt, corr_idx, valid, T=None,
+                corr_rows=None):
+        if corr_rows is not None:
+            q, n = corr_rows[:, :3], corr_rows[:, 3:6]
+        else:
+            idx = jnp.maximum(corr_idx, 0)
+            q = tgt.positions[idx]
+            n = tgt.attrs["normals"][idx]
         r_g = jnp.sum((src_pos - q) * n, axis=-1)
         J_g = jnp.concatenate([jnp.cross(src_pos, n), n], axis=-1)
 
@@ -396,13 +442,16 @@ def icp(
     criteria: ICPConvergenceCriteria = ICPConvergenceCriteria(),
     nns_backend: str = "auto",
     nns_max_per_cell: int = 32,
+    nns_band_window: int = 2048,
 ) -> RegistrationResult:
     """Single-scale ICP (ref: ICP, Registration.h:134 / DoSingleScaleICPIterations
     Registration.cpp:257). Runs entirely on device in one lax.while_loop.
 
-    nns_backend/nns_max_per_cell: correspondence-search accuracy knobs —
-    "exact" forces the exact 1-NN sweep regardless of cloud size; the grid
-    path caps candidates per cell (dense cells can drop true neighbors).
+    nns_backend: correspondence-search knob — "auto" picks the sorted-band
+    1-NN on clouds >= 8192 points (exact as long as no candidate window
+    exceeds `nns_band_window`, verified in tests at the bench density),
+    "banded" forces it, "exact" forces the exact O(N*M) MXU sweep, "grid"
+    the hash grid (whose nns_max_per_cell cap can drop true neighbors).
     """
     estimation = estimation or TransformationEstimationPointToPlane()
     T0 = jnp.eye(4, dtype=jnp.float32) if init is None else init.astype(jnp.float32)
@@ -410,8 +459,44 @@ def icp(
     src_pos0 = source.positions
     src_mask = source.mask
     src_attrs = source.attrs
-    # target is loop-invariant: build the hash grid ONCE outside the loop
-    grid = _make_corr_grid(target, max_correspondence_distance, nns_backend)
+
+    # --- correspondence engine (loop-invariant state built once) ---
+    # "banded" (default on large clouds): sorted-band 1-NN — dense MXU tiles
+    # over contiguous candidate windows, target attrs delivered by one-hot
+    # matmul (core/nns.py banded_*). Falls back to the exact sweep / hash
+    # grid for small clouds or estimations without corr_extras.
+    dmax = max_correspondence_distance
+    banded = None
+    if nns_backend in ("auto", "banded") and hasattr(estimation, "corr_extras"):
+        if nns_backend == "banded" or target.positions.shape[0] >= 8192:
+            extras = estimation.corr_extras(target)
+            banded = nns.banded_build(
+                target.positions, target.mask, extras, window=nns_band_window
+            )
+            # queries must be spatially coherent along the band axis: sort
+            # the source ONCE (every downstream reduction is permutation-
+            # invariant, so results need no un-sorting)
+            qkey = nns.banded_query_key(banded, src_pos0)
+            qkey = jnp.where(src_mask, qkey, jnp.float32(3e38))
+            qperm = jnp.argsort(qkey)
+            src_pos0 = src_pos0[qperm]
+            src_mask = src_mask[qperm]
+            src_attrs = {k: v[qperm] for k, v in src_attrs.items()}
+    grid = (
+        None
+        if banded is not None
+        else _make_corr_grid(target, dmax, nns_backend)
+    )
+
+    def correspond(pos):
+        if banded is not None:
+            idx, d2, sel, _ = nns.banded_one_nn(banded, pos, dmax, qmask=src_mask)
+            valid = src_mask & (idx >= 0)
+            return idx, d2, valid, sel
+        idx, d2, valid = _correspondences(
+            pos, src_mask, target, dmax, grid, max_per_cell=nns_max_per_cell
+        )
+        return idx, d2, valid, None
 
     def cond(carry):
         T, fitness, rmse, prev_f, prev_r, it, converged = carry
@@ -421,12 +506,11 @@ def icp(
         T, fitness, rmse, prev_f, prev_r, it, converged = carry
         pos = lie.transform_points(T, src_pos0)
         pos = jnp.where(src_mask[:, None], pos, src_pos0)
-        idx, d2, valid = _correspondences(
-            pos, src_mask, target, max_correspondence_distance, grid,
-            max_per_cell=nns_max_per_cell,
-        )
+        idx, d2, valid, sel = correspond(pos)
         new_f, new_r = _fitness_rmse(src_mask, d2, valid)
-        update = estimation.compute(pos, src_attrs, target, idx, valid, T)
+        update = estimation.compute(
+            pos, src_attrs, target, idx, valid, T, corr_rows=sel
+        )
         T_new = update @ T
         conv = (it > 0) & (jnp.abs(prev_f - new_f) < criteria.relative_fitness) & (
             jnp.abs(prev_r - new_r) < criteria.relative_rmse
@@ -445,10 +529,7 @@ def icp(
     T, fitness, rmse, _, _, it, _ = jax.lax.while_loop(cond, body, init_carry)
     # final metrics at the final pose
     pos = lie.transform_points(T, src_pos0)
-    _, d2, valid = _correspondences(
-        pos, src_mask, target, max_correspondence_distance, grid,
-        max_per_cell=nns_max_per_cell,
-    )
+    _, d2, valid, _ = correspond(pos)
     fitness, rmse = _fitness_rmse(src_mask, d2, valid)
     return RegistrationResult(transformation=T, fitness=fitness, inlier_rmse=rmse, num_iterations=it)
 
@@ -463,6 +544,7 @@ def multi_scale_icp(
     estimation=None,
     nns_backend: str = "auto",
     nns_max_per_cell: int = 32,
+    nns_band_window: int = 2048,
 ) -> RegistrationResult:
     """Coarse-to-fine ICP (ref: MultiScaleICP, Registration.h:171/cpp:344).
 
@@ -487,6 +569,7 @@ def multi_scale_icp(
         ):
             tgt = pc_ops.estimate_color_gradients(tgt, max_nn=30, radius=3.0 * max(vs, 1e-3))
         result = icp(src, tgt, dmax, T, estimation, crit,
-                     nns_backend=nns_backend, nns_max_per_cell=nns_max_per_cell)
+                     nns_backend=nns_backend, nns_max_per_cell=nns_max_per_cell,
+                     nns_band_window=nns_band_window)
         T = result.transformation
     return result
